@@ -1,0 +1,69 @@
+"""Benchmark harness: MLUPS of the flagship CSF color-gradient two-phase
+model on a 1024^2 D2Q9 grid (BASELINE.json north-star config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver-set target of 5000 MLUPS/chip
+(BASELINE.md; the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_MLUPS = 5000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openlbmpm_tpu import geometry as geo
+    from openlbmpm_tpu.models.colorgradient import (
+        CGBoundaryConfig, ColorGradientParams, ColorGradientRK)
+
+    ny = nx = 1024
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        tau_r=1.0, tau_b=1.0, surface_tension=0.1, contact_angle_deg=60.0,
+        beta=0.7, delta=0.98, tau_type=2, wetting_type=2, variant="CSF",
+        collision="MRT")
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                            dtype=jnp.float32)
+    f_r, f_b = model.init_state_layers(1.0, 1.0, invading_rows=100)
+
+    def steps(n, f_r, f_b):
+        def body(_, s):
+            return model._step_impl(*s)
+        return jax.lax.fori_loop(0, n, body, (f_r, f_b))
+
+    run = jax.jit(steps, static_argnums=0, donate_argnums=(1, 2))
+
+    # warmup + compile
+    f_r, f_b = run(10, f_r, f_b)
+    jax.block_until_ready((f_r, f_b))
+
+    n_steps = 200
+    t0 = time.perf_counter()
+    f_r, f_b = run(n_steps, f_r, f_b)
+    jax.block_until_ready((f_r, f_b))
+    dt = time.perf_counter() - t0
+
+    sites = int(np.prod((ny, nx)))
+    mlups = sites * n_steps / dt / 1e6
+    print(json.dumps({
+        "metric": "MLUPS/chip (1024^2 D2Q9 CSF color-gradient two-phase, MRT)",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "vs_baseline": round(mlups / TARGET_MLUPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Shared model infrastructure: the chunked run harness.
+
+TPU-first divergence from the reference: the reference re-launches ~12-15
+CUDA kernels per time step from the Python host (SURVEY.md section 3) — the
+single biggest performance bug to not replicate.  Here every model exposes a
+pure ``step(state) -> state`` compiled once with ``jax.jit``; the harness
+batches ``io_interval`` steps into one ``lax.fori_loop`` on device so host
+sync happens only at the I/O cadence (SURVEY.md section 7, decision 6).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+from jax import lax
+
+__all__ = ["RunMetrics", "run_chunked"]
+
+
+class RunMetrics:
+    """Throughput meter: wall clock, steps/s, MLUPS (million lattice-site
+    updates per second).  Replaces the reference's started-but-never-reported
+    timer (``ShanChenD2Q9.py:1080,1493``)."""
+
+    def __init__(self, active_sites: int):
+        self.active_sites = int(active_sites)
+        self.steps = 0
+        self.elapsed = 0.0
+
+    def update(self, steps: int, seconds: float):
+        self.steps += steps
+        self.elapsed += seconds
+
+    @property
+    def mlups(self) -> float:
+        if self.elapsed == 0:
+            return 0.0
+        return self.active_sites * self.steps / self.elapsed / 1e6
+
+    @property
+    def steps_per_s(self) -> float:
+        return self.steps / self.elapsed if self.elapsed else 0.0
+
+
+def run_chunked(
+    step_fn: Callable[[Any], Any],
+    state: Any,
+    num_steps: int,
+    io_interval: int,
+    callback: Callable[[int, Any], bool | None] | None = None,
+    metrics: RunMetrics | None = None,
+    donate: bool = True,
+):
+    """Advance `state` by `num_steps`, syncing to host every `io_interval`.
+
+    callback(step, state) is invoked at the I/O cadence with the *device*
+    state; returning True stops the run early (steady-state / breakthrough
+    criteria).  Returns the final state.
+    """
+    io_interval = max(1, min(io_interval, num_steps)) if num_steps else 1
+
+    def chunk_body(_, s):
+        return step_fn(s)
+
+    def run_chunk(s, n):
+        return lax.fori_loop(0, n, chunk_body, s)
+
+    jit_kwargs = {"static_argnums": (1,)}
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    run_chunk = jax.jit(run_chunk, **jit_kwargs)
+
+    done = 0
+    if callback is not None and callback(0, state):
+        return state
+    while done < num_steps:
+        n = min(io_interval, num_steps - done)
+        t0 = time.perf_counter()
+        state = run_chunk(state, n)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        done += n
+        if metrics is not None:
+            metrics.update(n, dt)
+        if callback is not None and callback(done, state):
+            break
+    return state

@@ -1,0 +1,323 @@
+"""Rothman-Keller color-gradient two-phase flow: Perturbation and CSF variants.
+
+The flagship model family (reference README "the best option", README.md:51).
+Rebuilds the two run loops of ``RKCG2D/RKD2Q9.py`` as fused jitted steps:
+
+**CSF variant** (Akai et al. 2018; ``runRKColorGradient2DCSF``,
+``RKD2Q9.py:1225-1493``) — one step, in the reference's exact op order:
+  1. inlet BC (total-momentum velocity inlet + ghost row | per-color
+     Zou-He pressure inlet + ghost row)
+  2. outlet BC (convective copy trio | total-PDF pressure outlet + ghost)
+  3. total PDF, velocity u = (sum f_tot e + F/2)/rho, phase field phi
+  4. phi extrapolated onto wetting solids (masked weighted average)
+  5. isotropic color gradient (solid phi included)
+  6. contact-angle enforcement on wetting fluid nodes (Xu 2017 | Akai 2018)
+  7. CSF force F = +-(1/2) sigma kappa grad(phi)
+  8. single-phase collision on the total PDF: SRT with tau(phi) or MRT with
+     s_nu = 1/tau(phi)
+  9. Guo perturbation source (SRT: scalar (1 - 1/(2 tau)); MRT: moment-space
+     (I - S/2))
+ 10. Latva-Kokko-Rothman recoloring
+ 11. per-color pull-streaming with half-way bounce-back
+
+**Perturbation variant** (Liu et al. 2014; ``runRKColorGradient2DPerturbation``,
+``RKD2Q9.py:979-1223``): per-color BGK collision with the RK "original"
+equilibria (C_i constants), perturbation operator on the color gradient of
+(rho_R - rho_B) with solid-color difference, Grunau tau(phi), LKR recoloring
+with the feq-weighted segregation (``calRKCollision23GPU:244-333``).
+
+State: (f_r, f_b) each (9, ny, nx); the force field is recomputed inside the
+step (pure function of the PDFs), unlike the reference which carries it
+between kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry, solid_normals, wetting_masks
+from ..lattice import D2Q9
+from ..ops import boundaries as bc
+from ..ops import collision as col
+from ..ops import colorgrad as cg
+from ..ops import equilibrium as eq
+from ..ops import macroscopic as mac
+from ..ops.common import shift
+from ..ops.forcing import guo_source
+from ..ops.streaming import stream, upwind_solid_masks
+
+__all__ = ["ColorGradientParams", "CGBoundaryConfig", "ColorGradientRK"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorGradientParams:
+    tau_r: float = 1.0
+    tau_b: float = 1.0
+    surface_tension: float = 0.1
+    contact_angle_deg: float = 60.0
+    beta: float = 0.7                # LKR interface-thickness parameter
+    delta: float = 0.98              # tau-interpolation half-width
+    tau_type: int = 1                # 1 | 2 (CSF tau(phi) option)
+    wetting_type: int = 2            # 1 = Xu 2017 | 2 = Akai 2018
+    variant: Literal["CSF", "Perturbation"] = "CSF"
+    collision: Literal["SRT", "MRT"] = "SRT"
+    solid_phi: float = 0.5           # solid color diff (Perturbation variant)
+    alpha_r: float = 0.92            # RK equilibrium constants (Perturbation)
+    alpha_b: float = 0.2
+    a_kr: float = 0.0001             # perturbation strength (Perturbation)
+    a_kb: float = 0.0001
+    body_force: tuple[float, float] = (0.0, 0.0)
+    gradient_type: str = "Isotropic"  # Perturbation variant gradient weights
+
+
+@dataclasses.dataclass(frozen=True)
+class CGBoundaryConfig:
+    inlet: str = "periodic"   # periodic | neumann (velocity) | dirichlet (pressure)
+    outlet: str = "periodic"  # periodic | convective | dirichlet
+    inlet_velocity: float = 0.0        # total v_y (Neumann)
+    inlet_density_r: float = 1.0       # per-color inlet densities (Dirichlet)
+    inlet_density_b: float = 0.0
+    outlet_density_r: float = 0.0
+    outlet_density_b: float = 1.0
+
+
+class ColorGradientRK:
+    """Two-phase color-gradient solver on a dense masked D2Q9 grid."""
+
+    def __init__(self, geometry: Geometry, params: ColorGradientParams,
+                 boundaries: CGBoundaryConfig = CGBoundaryConfig(),
+                 dtype=jnp.float32):
+        self.lat = D2Q9
+        self.geo = geometry
+        self.p = params
+        self.bcs = boundaries
+        self.dtype = dtype
+
+        self.fluid_mask = jnp.asarray(geometry.is_fluid, dtype)
+        self.is_fluid = jnp.asarray(geometry.is_fluid)
+        self.upwind_solid = jnp.asarray(
+            upwind_solid_masks(self.lat, geometry.is_solid))
+
+        wet_fluid, wet_solid = wetting_masks(geometry.is_solid)
+        nsx, nsy = solid_normals(geometry.is_solid)
+        self.wet_fluid = jnp.asarray(wet_fluid)
+        self.has_wetting = bool(wet_solid.any())
+        self.nsx = jnp.asarray(nsx, dtype)
+        self.nsy = jnp.asarray(nsy, dtype)
+        theta = math.radians(params.contact_angle_deg)
+        self.cos_t = math.cos(theta)
+        self.sin_t = math.sin(theta)
+
+        if params.variant == "Perturbation":
+            self.const_cr = eq.rk_constants(params.alpha_r)
+            self.const_cb = eq.rk_constants(params.alpha_b)
+            if params.gradient_type == "Anisotropic":
+                gs = np.array([0.0] + [1 / 3] * 4 + [1 / 12] * 4)
+            else:
+                gs = np.ones(9)
+                gs[0] = 0.0
+            self._grad_scheme = gs
+        self._mrt_s = col.mrt_relaxation_d2q9_rk()
+
+        ny = geometry.ny
+        self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
+                           for r in (0, 1, 2, ny - 1, ny - 2)}
+        self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+
+    # -- initial conditions ----------------------------------------------
+    def init_state_layers(self, rho_r: float = 1.0, rho_b: float = 1.0,
+                          invading_rows: int = 10, background: float = 0.0):
+        """Red occupies the top `invading_rows` rows (``RKD2Q9.py:445-575``)."""
+        ny, nx = self.geo.shape
+        y = np.arange(ny).reshape(-1, 1)
+        top = np.broadcast_to(y >= ny - invading_rows, (ny, nx))
+        r = np.where(top, rho_r, background) * self.geo.is_fluid
+        b = np.where(top, background, rho_b) * self.geo.is_fluid
+        return self._feq_init(r, b)
+
+    def init_state_droplet(self, rho_r: float = 1.0, rho_b: float = 1.0,
+                           center=None, radius: float = 16.0,
+                           background: float = 0.0):
+        ny, nx = self.geo.shape
+        if center is None:
+            center = (ny / 2.0, nx / 2.0)
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        inside = (yy - center[0]) ** 2 + (xx - center[1]) ** 2 <= radius ** 2
+        r = np.where(inside, rho_r, background) * self.geo.is_fluid
+        b = np.where(inside, background, rho_b) * self.geo.is_fluid
+        return self._feq_init(r, b)
+
+    def _feq_init(self, rho_r, rho_b):
+        zeros = jnp.zeros(self.geo.shape, self.dtype)
+        rr = jnp.asarray(rho_r, self.dtype)
+        rb = jnp.asarray(rho_b, self.dtype)
+        if self.p.variant == "Perturbation":
+            f_r = eq.feq_rk_original(self.lat, rr, (zeros, zeros), self.const_cr)
+            f_b = eq.feq_rk_original(self.lat, rb, (zeros, zeros), self.const_cb)
+        else:
+            f_r = eq.feq_quadratic(self.lat, rr, (zeros, zeros))
+            f_b = eq.feq_quadratic(self.lat, rb, (zeros, zeros))
+        return f_r * self.fluid_mask, f_b * self.fluid_mask
+
+    # -- boundary conditions ----------------------------------------------
+    def _apply_inlet(self, f_r, f_b):
+        ny = self.geo.ny
+        m = self._row_masks
+        if self.bcs.inlet == "neumann":
+            f_r, f_b = bc.total_velocity_inlet_top(
+                f_r, f_b, self.bcs.inlet_velocity, ny - 2, m[ny - 2])
+            f_r = bc.copy_row(f_r, ny - 1, ny - 2, m[ny - 1])
+            f_b = bc.copy_row(f_b, ny - 1, ny - 2, m[ny - 1])
+        elif self.bcs.inlet == "dirichlet":
+            f_r = bc.zou_he_pressure_top(f_r, self.bcs.inlet_density_r,
+                                         ny - 2, m[ny - 2])
+            f_b = bc.zou_he_pressure_top(f_b, self.bcs.inlet_density_b,
+                                         ny - 2, m[ny - 2])
+            f_r = bc.copy_row(f_r, ny - 1, ny - 2, m[ny - 1])
+            f_b = bc.copy_row(f_b, ny - 1, ny - 2, m[ny - 1])
+        return f_r, f_b
+
+    def _apply_outlet(self, f_r, f_b):
+        m = self._row_masks
+        if self.bcs.outlet == "convective":
+            f_r = bc.copy_rows_from_above(f_r, (2, 1, 0), (m[2], m[1], m[0]))
+            f_b = bc.copy_rows_from_above(f_b, (2, 1, 0), (m[2], m[1], m[0]))
+        elif self.bcs.outlet == "dirichlet":
+            rho_t = self.bcs.outlet_density_r + self.bcs.outlet_density_b
+            f_r, f_b = bc.total_pressure_outlet_bottom(f_r, f_b, rho_t, 1, m[1])
+            f_r = bc.copy_row(f_r, 0, 1, m[0])
+            f_b = bc.copy_row(f_b, 0, 1, m[0])
+        return f_r, f_b
+
+    # -- field computations -------------------------------------------------
+    def color_force_fields(self, f_r, f_b):
+        """phi, gradient (with wetting), and the CSF force, from PDFs."""
+        rho_r = mac.density(f_r)
+        rho_b = mac.density(f_b)
+        phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
+        phi_ext = cg.solid_phi_extrapolate(phi, self.is_fluid) \
+            if self.has_wetting else phi
+        gx, gy = cg.color_gradient(phi_ext, self.lat)
+        if self.has_wetting:
+            rot = (cg.rotate_gradient_on_wetting_xu if self.p.wetting_type == 1
+                   else cg.rotate_gradient_on_wetting_akai)
+            gx, gy = rot(gx, gy, self.nsx, self.nsy, self.cos_t, self.sin_t,
+                         self.wet_fluid)
+        fx, fy, kappa = cg.csf_force(
+            gx, gy, self.p.surface_tension, self.is_fluid,
+            inward_normal=(self.p.wetting_type == 2), lat=self.lat)
+        bfx, bfy = self.p.body_force
+        if bfx or bfy:
+            rho = rho_r + rho_b
+            fx = fx + bfx * rho
+            fy = fy + bfy * rho
+        fx = fx * self.fluid_mask
+        fy = fy * self.fluid_mask
+        return rho_r, rho_b, phi, gx, gy, fx, fy
+
+    # -- CSF step ---------------------------------------------------------
+    def _step_csf(self, f_r, f_b):
+        f_r, f_b = self._apply_inlet(f_r, f_b)
+        f_r, f_b = self._apply_outlet(f_r, f_b)
+        rho_r, rho_b, phi, gx, gy, fx, fy = self.color_force_fields(f_r, f_b)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+
+        f_tot = f_r + f_b
+        mx, my = mac.momentum(self.lat, f_tot)
+        ux = (mx + 0.5 * fx) / rho_safe
+        uy = (my + 0.5 * fy) / rho_safe
+
+        tau = cg.tau_interp_csf(phi, rho_r, rho_b, self.p.tau_r, self.p.tau_b,
+                                self.p.delta, self.p.tau_type)
+        feq_tot = (eq.feq_quadratic(self.lat, rho_r, (ux, uy)) +
+                   eq.feq_quadratic(self.lat, rho_b, (ux, uy)))
+        src = guo_source(self.lat, (ux, uy), (fx, fy))
+        if self.p.collision == "SRT":
+            f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
+            f_tot = f_tot + (1.0 - 0.5 / tau)[None] * src
+        else:
+            inv_tau = 1.0 / tau
+            f_tot = col.mrt_variable_nu(f_tot, feq_tot, self.lat, self._mrt_s,
+                                        inv_tau)
+            f_tot = f_tot + col.mrt_force_transform_variable(
+                src, self.lat, self._mrt_s, inv_tau)
+        f_r, f_b = cg.recolor_lkr(f_tot, rho_r, rho_b, gx, gy, self.p.beta,
+                                  self.lat)
+        f_r = stream(f_r, self.lat, self.upwind_solid) * self.fluid_mask
+        f_b = stream(f_b, self.lat, self.upwind_solid) * self.fluid_mask
+        return f_r, f_b
+
+    # -- Perturbation step --------------------------------------------------
+    def _pert_gradient(self, rho_r, rho_b):
+        """Color gradient of (rho_R - rho_B) with solidDiff on solid voxels
+        (``calRKCollision23GPU:267-285``)."""
+        diff = (rho_r - rho_b) * self.fluid_mask + \
+            self.p.solid_phi * (1.0 - self.fluid_mask)
+        gx = jnp.zeros_like(diff)
+        gy = jnp.zeros_like(diff)
+        for i in range(1, 9):
+            dx, dy = int(self.lat.e[i, 0]), int(self.lat.e[i, 1])
+            w = float(self._grad_scheme[i])
+            s = shift(diff, dx, dy)
+            if dx:
+                gx = gx + (w * dx) * s
+            if dy:
+                gy = gy + (w * dy) * s
+        return gx, gy
+
+    def _step_perturbation(self, f_r, f_b):
+        f_r, f_b = self._apply_inlet(f_r, f_b)
+        f_r, f_b = self._apply_outlet(f_r, f_b)
+        rho_r = mac.density(f_r)
+        rho_b = mac.density(f_b)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
+        mx, my = mac.momentum(self.lat, f_r + f_b)
+        ux = mx / rho_safe
+        uy = my / rho_safe
+        tau = cg.tau_interp_grunau(phi, self.p.tau_r, self.p.tau_b,
+                                   self.p.delta)
+        feq_r = eq.feq_rk_original(self.lat, rho_r, (ux, uy), self.const_cr)
+        feq_b = eq.feq_rk_original(self.lat, rho_b, (ux, uy), self.const_cb)
+        f_r = col.bgk_field_tau(f_r, feq_r, tau)
+        f_b = col.bgk_field_tau(f_b, feq_b, tau)
+        # perturbation + recoloring on the per-color PDFs
+        gx, gy = self._pert_gradient(rho_r, rho_b)
+        f_r = f_r + cg.perturbation(gx, gy, self.p.a_kr, cg.B_CONSTANTS,
+                                    self.lat)
+        f_b = f_b + cg.perturbation(gx, gy, self.p.a_kb, cg.B_CONSTANTS,
+                                    self.lat)
+        f_tot = f_r + f_b
+        f_r, f_b = cg.recolor_rk_original(
+            f_tot, rho_r, rho_b, gx, gy, self.p.beta,
+            self.const_cr, self.const_cb, self.lat)
+        f_r = stream(f_r, self.lat, self.upwind_solid) * self.fluid_mask
+        f_b = stream(f_b, self.lat, self.upwind_solid) * self.fluid_mask
+        return f_r, f_b
+
+    def _step_impl(self, f_r, f_b):
+        if self.p.variant == "CSF":
+            return self._step_csf(f_r, f_b)
+        return self._step_perturbation(f_r, f_b)
+
+    def step(self, state):
+        return self._step(*state)
+
+    # -- diagnostics -------------------------------------------------------
+    def macro(self, state):
+        f_r, f_b = state
+        rho_r, rho_b, phi, gx, gy, fx, fy = self.color_force_fields(f_r, f_b)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        mx, my = mac.momentum(self.lat, f_r + f_b)
+        ux = (mx + 0.5 * fx) / rho_safe
+        uy = (my + 0.5 * fy) / rho_safe
+        return rho_r, rho_b, phi, (ux, uy)

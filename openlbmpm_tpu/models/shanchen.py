@@ -1,0 +1,278 @@
+"""Shan-Chen pseudopotential MCMP flow model (original SC + explicit-forcing).
+
+Rebuilds the two production GPU paths of the reference as fused jitted steps:
+
+- **Original SC** (``ShanChenD2Q9.runOptimizedLBM``, ``ShanChenD2Q9.py:1433-1629``):
+  per step — inlet BC, common velocity u', interaction force, per-fluid
+  equilibrium velocity u_eq = u' + tau F / rho, BGK collision at u_eq
+  (the fused ``interactionCollisionProcess`` kernel,
+  ``OptimizedD2Q9GPU.py:1274-1446``), pull-stream + half-way bounce-back,
+  outlet BC.
+
+- **EFS** (Porter et al. 2012; ``runOptimizedEFLBM``, ``ShanChenD2Q9.py:1631-2087``):
+  high-isotropy (4/8/10) gradient force, equilibrium velocity
+  u_eq = sum_k (rho_k u_k + F_k/2)/tau_k / sum_k rho_k/tau_k, equilibria at
+  u_eq, force distribution f^F, and the transformed-PDF update
+  fbar' = fbar + (feq - fbar - f^F/2)/tau + f^F (SRT,
+  ``ExplicitD2Q9GPU.calCollisionEXGPU:294-304``) or its moment-space MRT
+  form (``calAfterCollisionMRT:1455-1469``).  The streamed variable is the
+  transformed fbar = f - f^F/2 throughout, as in the reference
+  (``transformPDFGPU:277-287``).
+
+Known reference defects NOT replicated (SURVEY.md section 0): body force is
+applied to every fluid (the reference's ``addBodyForceGPU:320-329`` only
+adds it for fluid index 2); boundary densities are configurable (the
+reference hardcodes them in ``constantPressureZouHeBoundaryLower:560-561``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import Geometry
+from ..lattice import D2Q9
+from ..ops import boundaries as bc
+from ..ops import collision as col
+from ..ops import equilibrium as eq
+from ..ops import macroscopic as mac
+from ..ops import shanchen as sc
+from ..ops.common import bcast_1d
+from ..ops.forcing import efs_force_pdf
+from ..ops.streaming import stream, upwind_solid_masks
+
+__all__ = ["ShanChenParams", "ShanChenMCMP"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ShanChenParams:
+    """Physics parameters of the MCMP model.
+
+    g_matrix: (K, K) fluid-fluid interaction coefficients G_ij (symmetric,
+      zero diagonal; ``ShanChenD2Q9.py:226-231``).
+    g_solid: (K,) fluid-solid adsorption coefficients.
+    tau: (K,) relaxation times.
+    """
+
+    g_matrix: tuple
+    g_solid: tuple
+    tau: tuple
+    scheme: Literal["SC", "EFS"] = "SC"
+    iso_order: int = 4                      # 4 | 8 | 10 (EFS only)
+    collision: Literal["SRT", "MRT"] = "SRT"
+    psi: Literal["rho", "PR"] = "rho"       # pseudopotential form
+    body_force: tuple[float, float] = (0.0, 0.0)
+    pr_params: tuple = ()                   # optional P-R EOS overrides
+
+    @property
+    def num_fluids(self) -> int:
+        return len(self.tau)
+
+
+@dataclasses.dataclass(frozen=True)
+class SCBoundaryConfig:
+    inlet: str = "periodic"    # periodic | zou_he_velocity | zou_he_pressure
+    outlet: str = "periodic"   # periodic | zou_he_pressure | convective
+    inlet_velocity: tuple = (0.0,)    # per fluid
+    inlet_density: tuple = (1.0,)     # per fluid
+    outlet_density: tuple = (1.0,)    # per fluid
+
+
+class ShanChenMCMP:
+    """Multicomponent Shan-Chen flow on a dense masked D2Q9 grid.
+
+    State: f (K, 9, ny, nx).
+    """
+
+    def __init__(self, geometry: Geometry, params: ShanChenParams,
+                 boundaries: SCBoundaryConfig = SCBoundaryConfig(),
+                 dtype=jnp.float32):
+        self.lat = D2Q9
+        self.geo = geometry
+        self.p = params
+        self.bcs = boundaries
+        self.dtype = dtype
+        self.k = params.num_fluids
+
+        self.fluid_mask = jnp.asarray(geometry.is_fluid, dtype)
+        self.upwind_solid = jnp.asarray(
+            upwind_solid_masks(self.lat, geometry.is_solid))
+        self.fields = sc.build_interaction_fields(
+            geometry.is_solid, order=params.iso_order)
+        self.tau = np.asarray(params.tau, np.float64)
+        self.g_matrix = np.asarray(params.g_matrix, np.float64)
+        self.g_solid = np.asarray(params.g_solid, np.float64)
+        if params.collision == "MRT":
+            # per-fluid M^-1 S M collision matrices (``ShanChenD2Q9.py:484-498``)
+            self._mrt_s = [col.mrt_relaxation_d2q9_sc(t) for t in self.tau]
+        ny = geometry.ny
+        self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
+                           for r in (0, 1, 2, 3, ny - 1, ny - 2)}
+        self._step = jax.jit(self._step_impl, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def init_state_layers(self, rho_main: tuple, rho_background: tuple,
+                          invading_rows: int = 10) -> jnp.ndarray:
+        """Layered initial invasion pattern: fluid 0 occupies the top
+        `invading_rows` rows, fluid 1 the rest; every fluid keeps its
+        background density elsewhere (``initializeDomainCondition``,
+        ``ShanChenD2Q9.py:734-817``)."""
+        ny, nx = self.geo.shape
+        y = np.arange(ny).reshape(-1, 1)
+        top = np.broadcast_to(y >= ny - invading_rows, (ny, nx))
+        rho = np.empty((self.k, ny, nx), np.float64)
+        for i in range(self.k):
+            main_region = top if i == 0 else ~top
+            rho[i] = np.where(main_region, rho_main[i], rho_background[i])
+        rho *= self.geo.is_fluid
+        return self._feq_init(jnp.asarray(rho, self.dtype))
+
+    def init_state_droplet(self, rho_main: tuple, rho_background: tuple,
+                           center=None, radius: float = 16.0) -> jnp.ndarray:
+        """Circular droplet of fluid 0 in a bath of fluid 1."""
+        ny, nx = self.geo.shape
+        if center is None:
+            center = (ny / 2.0, nx / 2.0)
+        yy, xx = np.mgrid[0:ny, 0:nx]
+        inside = (yy - center[0]) ** 2 + (xx - center[1]) ** 2 <= radius ** 2
+        rho = np.empty((self.k, ny, nx), np.float64)
+        for i in range(self.k):
+            region = inside if i == 0 else ~inside
+            rho[i] = np.where(region, rho_main[i], rho_background[i])
+        rho *= self.geo.is_fluid
+        return self._feq_init(jnp.asarray(rho, self.dtype))
+
+    def _feq_init(self, rho_k):
+        zeros = jnp.zeros_like(rho_k[0])
+        f = jnp.stack([
+            eq.feq_quadratic(self.lat, rho_k[i], (zeros, zeros))
+            for i in range(self.k)])
+        return f * self.fluid_mask
+
+    # ------------------------------------------------------------------
+    def _psi(self, rho_k):
+        if self.p.psi == "rho":
+            return rho_k
+        kwargs = dict(self.p.pr_params)
+        return sc.psi_peng_robinson(rho_k, **kwargs) * self.fluid_mask
+
+    def _force(self, rho_k):
+        psi = self._psi(rho_k)
+        if self.p.scheme == "SC":
+            fx, fy = sc.interaction_force_sc(
+                psi, self.g_matrix, self.g_solid, self.fields)
+        else:
+            fx, fy = sc.interaction_force_efs(
+                psi, self.g_matrix, self.g_solid, self.fields)
+        bfx, bfy = self.p.body_force
+        if bfx or bfy:
+            fx = fx + bfx * rho_k
+            fy = fy + bfy * rho_k
+        return fx, fy
+
+    # -- original Shan-Chen step ---------------------------------------
+    def _step_sc(self, f):
+        f = self._apply_inlet(f)
+        rho_k = mac.density(f)
+        rho_safe = jnp.where(rho_k > 0, rho_k, 1.0)
+        upx, upy = mac.sc_common_velocity(self.lat, f, rho_k, self.tau)
+        fx, fy = self._force(rho_k)
+        # per-fluid equilibrium velocity u_eq = u' + tau F / rho
+        tau_b = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1)
+        ueq_x = upx[None] + tau_b * fx / rho_safe
+        ueq_y = upy[None] + tau_b * fy / rho_safe
+        feq = eq.feq_quadratic(self.lat, rho_k, (ueq_x, ueq_y))
+        tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
+        f = f - (f - feq) / tau_q
+        f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
+        f = self._apply_outlet(f, None)
+        return f
+
+    # -- explicit forcing scheme step ------------------------------------
+    def _step_efs(self, f):
+        """One EFS step on the transformed PDF fbar = f - f^F/2."""
+        f = self._apply_inlet(f)
+        rho_k = mac.density(f)   # sum f^F = 0 so rho is unaffected
+        rho_safe = jnp.where(rho_k > 0, rho_k, 1.0)
+        fx, fy = self._force(rho_k)
+        # equilibrium velocity: sum_k (m_k + F_k/2)/tau_k / sum_k rho_k/tau_k
+        mx, my = mac.momentum(self.lat, f)
+        itau = jnp.asarray(1.0 / self.tau, self.dtype).reshape(-1, 1, 1)
+        den = jnp.sum(rho_k * itau, axis=0)
+        den = jnp.where(den != 0, den, 1.0)
+        ueq_x = jnp.sum((mx + 0.5 * fx) * itau, axis=0) / den
+        ueq_y = jnp.sum((my + 0.5 * fy) * itau, axis=0) / den
+        u = (jnp.broadcast_to(ueq_x[None], rho_k.shape),
+             jnp.broadcast_to(ueq_y[None], rho_k.shape))
+        feq = eq.feq_quadratic(self.lat, rho_k, u)
+        ff = efs_force_pdf(self.lat, feq, rho_safe, u, (fx, fy))
+        if self.p.collision == "SRT":
+            tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
+            f = f + (feq - f - 0.5 * ff) / tau_q + ff
+        else:
+            parts = []
+            for i in range(self.k):
+                relaxed = col.mrt(f[i], feq[i] - 0.5 * ff[i], self.lat,
+                                  self._mrt_s[i]) - f[i]
+                # col.mrt returns f - C(f - target); the collision increment
+                # is C(target - f); add the full force term afterwards.
+                parts.append(f[i] + (relaxed) + ff[i])
+            f = jnp.stack(parts)
+        f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
+        f = self._apply_outlet(f, None)
+        return f
+
+    # ------------------------------------------------------------------
+    def _apply_inlet(self, f):
+        ny = self.geo.ny
+        if self.bcs.inlet == "zou_he_velocity":
+            v = jnp.asarray(self.bcs.inlet_velocity,
+                            self.dtype).reshape(-1, 1)
+            f, _ = bc.zou_he_velocity_top(f, v, ny - 2,
+                                          self._row_masks[ny - 2])
+            f = bc.copy_row(f, ny - 1, ny - 2, self._row_masks[ny - 1])
+        elif self.bcs.inlet == "zou_he_pressure":
+            rho_t = jnp.asarray(self.bcs.inlet_density,
+                                self.dtype).reshape(-1, 1)
+            f = bc.zou_he_pressure_top(f, rho_t, ny - 2,
+                                       self._row_masks[ny - 2])
+            f = bc.copy_row(f, ny - 1, ny - 2, self._row_masks[ny - 1])
+        return f
+
+    def _apply_outlet(self, f, f_old):
+        if self.bcs.outlet == "zou_he_pressure":
+            rho_t = jnp.asarray(self.bcs.outlet_density,
+                                self.dtype).reshape(-1, 1)
+            f = bc.zou_he_pressure_bottom(f, rho_t, 1, self._row_masks[1])
+            f = bc.copy_row(f, 0, 1, self._row_masks[0])
+        elif self.bcs.outlet == "convective":
+            f = bc.copy_rows_from_above(
+                f, (2, 1, 0),
+                (self._row_masks[2], self._row_masks[1], self._row_masks[0]))
+        return f
+
+    def _step_impl(self, f):
+        if self.p.scheme == "SC":
+            return self._step_sc(f)
+        return self._step_efs(f)
+
+    def step(self, f):
+        return self._step(f)
+
+    # -- diagnostics ----------------------------------------------------
+    def macro(self, f):
+        rho_k = mac.density(f)
+        fx, fy = self._force(rho_k)
+        rho_tot = jnp.sum(rho_k, axis=0)
+        rho_tot = jnp.where(rho_tot > 0, rho_tot, 1.0)
+        mx, my = mac.momentum(self.lat, f)
+        ux = (jnp.sum(mx + 0.5 * fx, axis=0)) / rho_tot
+        uy = (jnp.sum(my + 0.5 * fy, axis=0)) / rho_tot
+        return rho_k, (ux, uy)
+
+    def pressure(self, rho_k):
+        return mac.pressure_sc(rho_k, self.g_matrix)

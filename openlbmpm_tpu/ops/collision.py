@@ -81,6 +81,46 @@ def trt(f, feq, lat: Lattice, tau: float, magic: float = 3.0 / 16.0):
     return f - omega_p * (f_sym - feq_sym) - omega_m * (f_asym - feq_asym)
 
 
+def mrt_force_transform(src, lat: Lattice, s: np.ndarray):
+    """Apply the MRT Guo-force correction M^-1 (I - S/2) M to a source term.
+
+    With per-moment relaxation rates, the discrete-lattice force correction
+    is (1 - s_i/2) per moment, not the scalar (1 - 1/(2 tau)).
+    """
+    C = lat.M_inv @ ((np.eye(lat.q) - 0.5 * np.diag(np.asarray(s, np.float64)))
+                     @ lat.M)
+    return _moments(C, src)
+
+
+def mrt_force_transform_variable(src, lat: Lattice, s_base: np.ndarray,
+                                 inv_tau_field,
+                                 nu_indices: tuple[int, ...] = (7, 8)):
+    """M^-1 (I - S/2) M src with per-node shear rates s_nu = 1/tau(x)."""
+    m = _moments(lat.M, src)
+    s = np.asarray(s_base, np.float64).copy()
+    s[list(nu_indices)] = 0.0
+    sm = jnp.asarray(s, src.dtype).reshape((-1,) + (1,) * (src.ndim - 1)) * m
+    nu_sel = np.zeros(lat.q, np.float64)
+    nu_sel[list(nu_indices)] = 1.0
+    nu_sel = jnp.asarray(nu_sel, src.dtype).reshape(
+        (-1,) + (1,) * (src.ndim - 1))
+    sm = sm + nu_sel * inv_tau_field[None] * m
+    return src - 0.5 * _moments(lat.M_inv, sm)
+
+
+def trt_force_transform(src, lat: Lattice, tau: float,
+                        magic: float = 3.0 / 16.0):
+    """TRT force correction: even part scaled by (1 - omega_+/2), odd part by
+    (1 - omega_-/2)."""
+    omega_p = 1.0 / tau
+    tau_m = magic / (tau - 0.5) + 0.5
+    omega_m = 1.0 / tau_m
+    src_opp = src[np.asarray(lat.opp)]
+    even = 0.5 * (src + src_opp)
+    odd = 0.5 * (src - src_opp)
+    return (1.0 - 0.5 * omega_p) * even + (1.0 - 0.5 * omega_m) * odd
+
+
 def mrt_relaxation_d2q9_sc(tau: float) -> np.ndarray:
     """EFS/SC MRT diagonal: conserved moments 0, shear 1/tau.
 

@@ -1,0 +1,106 @@
+"""Physics tests for the color-gradient model: Laplace law, mass
+conservation, static contact angle (SURVEY.md section 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openlbmpm_tpu import geometry as geo
+from openlbmpm_tpu.models.base import run_chunked
+from openlbmpm_tpu.models.colorgradient import (
+    CGBoundaryConfig, ColorGradientParams, ColorGradientRK)
+
+
+def _droplet_model(variant="CSF", collision="SRT", sigma=0.01, n=64,
+                   tau_r=1.0, tau_b=1.0):
+    solid = np.zeros((n, n), bool)  # fully periodic, no walls
+    params = ColorGradientParams(
+        variant=variant, collision=collision, surface_tension=sigma,
+        tau_r=tau_r, tau_b=tau_b, beta=0.7, a_kr=sigma, a_kb=sigma)
+    return ColorGradientRK(geo.from_solid_mask(solid), params,
+                           CGBoundaryConfig(), dtype=jnp.float64)
+
+
+@pytest.mark.parametrize("collision", ["SRT", "MRT"])
+def test_laplace_law_csf(collision):
+    sigma = 0.01
+    radius = 14.0
+    model = _droplet_model("CSF", collision, sigma)
+    state = model.init_state_droplet(1.0, 1.0, radius=radius, background=0.0)
+    state = run_chunked(model.step, state, num_steps=3000, io_interval=1000)
+    rho_r, rho_b, phi, (ux, uy) = model.macro(state)
+    phi = np.asarray(phi)
+    rho = np.asarray(rho_r + rho_b)
+    p = rho / 3.0
+    inside = phi > 0.8
+    outside = phi < -0.8
+    # measured radius from droplet area
+    r_meas = np.sqrt(inside.sum() / np.pi)
+    dp = p[inside].mean() - p[outside].mean()
+    dp_analytic = sigma / r_meas
+    assert dp > 0
+    assert abs(dp - dp_analytic) / dp_analytic < 0.15, (dp, dp_analytic)
+
+
+def test_mass_conservation_per_color():
+    model = _droplet_model("CSF", "SRT")
+    state = model.init_state_droplet(1.0, 1.0, radius=12.0)
+    m_r0 = float(jnp.sum(state[0]))
+    m_b0 = float(jnp.sum(state[1]))
+    state = run_chunked(model.step, state, num_steps=500, io_interval=500)
+    assert abs(float(jnp.sum(state[0])) - m_r0) / m_r0 < 1e-12
+    assert abs(float(jnp.sum(state[1])) - m_b0) / m_b0 < 1e-12
+
+
+def test_spurious_currents_bounded():
+    model = _droplet_model("CSF", "SRT", sigma=0.01)
+    state = model.init_state_droplet(1.0, 1.0, radius=14.0)
+    state = run_chunked(model.step, state, num_steps=2000, io_interval=1000)
+    _, _, _, (ux, uy) = model.macro(state)
+    umax = float(jnp.max(jnp.sqrt(ux**2 + uy**2)))
+    assert umax < 0.01, umax
+
+
+def test_laplace_law_perturbation_variant():
+    sigma_param = 0.005
+    model = _droplet_model("Perturbation", "SRT", sigma_param)
+    state = model.init_state_droplet(1.0, 1.0, radius=14.0, background=0.0)
+    state = run_chunked(model.step, state, num_steps=2000, io_interval=1000)
+    rho_r, rho_b, phi, _ = model.macro(state)
+    phi = np.asarray(phi)
+    # droplet must stay intact and phase-separated
+    assert (phi > 0.9).sum() > 300
+    assert (phi < -0.9).sum() > 2000
+    # pressure jump positive across the interface
+    rho = np.asarray(rho_r + rho_b)
+    p = rho / 3.0
+    dp = p[phi > 0.8].mean() - p[phi < -0.8].mean()
+    assert dp > 0
+
+
+def test_static_contact_angle_neutral_wetting():
+    """theta = 90 deg: a droplet sitting on a flat wall must keep a
+    half-circle shape => measured angle ~ 90 deg (spherical-cap fit as in
+    ``ShanChenD2Q9.calMeasuredContactAngle:864-886``)."""
+    n = 64
+    solid = np.zeros((n, n), bool)
+    solid[:2, :] = True  # floor
+    params = ColorGradientParams(
+        variant="CSF", collision="SRT", surface_tension=0.01,
+        contact_angle_deg=90.0, wetting_type=2)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params,
+                            CGBoundaryConfig(), dtype=jnp.float64)
+    state = model.init_state_droplet(1.0, 1.0, center=(2.0, n / 2),
+                                     radius=12.0)
+    state = run_chunked(model.step, state, num_steps=3000, io_interval=1500)
+    _, _, phi, _ = model.macro(state)
+    phi = np.asarray(phi)
+    drop = phi > 0.0
+    drop[:2, :] = False
+    base = drop[2, :].sum()          # base chord length
+    height = drop[:, n // 2].sum()   # cap height
+    # spherical-cap: R = (base^2/4 + h^2) / (2h), cos(theta) = (R - h)/R
+    r_cap = (base**2 / 4.0 + height**2) / (2.0 * height)
+    cos_theta = (r_cap - height) / r_cap
+    theta = np.degrees(np.arccos(np.clip(cos_theta, -1, 1)))
+    assert 75.0 < theta < 105.0, theta

@@ -1,0 +1,111 @@
+"""Physics tests for the Shan-Chen MCMP model: phase separation, Laplace
+law, mass conservation, EFS variants (SURVEY.md section 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openlbmpm_tpu import geometry as geo
+from openlbmpm_tpu.models.base import run_chunked
+from openlbmpm_tpu.models.shanchen import (
+    SCBoundaryConfig, ShanChenMCMP, ShanChenParams)
+
+
+def _two_fluid_params(scheme="SC", g=3.6, collision="SRT", iso=4,
+                      g_solid=(0.0, 0.0)):
+    if scheme == "EFS":
+        g = 0.20  # EFS normalization (efs2D.ini)
+    return ShanChenParams(
+        g_matrix=((0.0, g), (g, 0.0)),
+        g_solid=g_solid,
+        tau=(1.0, 1.0),
+        scheme=scheme,
+        iso_order=iso,
+        collision=collision,
+    )
+
+
+def _droplet(scheme="SC", collision="SRT", iso=4, n=48, radius=10.0):
+    solid = np.zeros((n, n), bool)
+    model = ShanChenMCMP(geo.from_solid_mask(solid),
+                         _two_fluid_params(scheme, collision=collision,
+                                           iso=iso),
+                         dtype=jnp.float64)
+    # standard SC MCMP droplet: main density 1.0, dissolved background 0.06
+    f = model.init_state_droplet((1.0, 1.0), (0.06, 0.06), radius=radius)
+    return model, f
+
+
+def test_sc_phase_separation_and_laplace():
+    model, f = _droplet("SC")
+    rho0 = np.asarray(mac_density(f))
+    f = run_chunked(model.step, f, num_steps=3000, io_interval=1000)
+    rho_k, (ux, uy) = model.macro(f)
+    rho_k = np.asarray(rho_k)
+    # fluid 0 stays dense in the droplet, dilute outside
+    n = rho_k.shape[-1]
+    assert rho_k[0, n // 2, n // 2] > 0.5
+    assert rho_k[0, 4, 4] < 0.2
+    # Laplace: pressure higher inside
+    p = np.asarray(model.pressure(jnp.asarray(rho_k)))
+    inside = rho_k[0] > 0.8
+    outside = rho_k[0] < 0.1
+    assert p[inside].mean() > p[outside].mean()
+    # velocities stay bounded (spurious currents)
+    umax = float(jnp.max(jnp.sqrt(ux**2 + uy**2)))
+    assert umax < 0.15
+
+
+def mac_density(f):
+    return jnp.sum(f, axis=1)
+
+
+def test_sc_mass_conservation_periodic():
+    model, f = _droplet("SC")
+    m0 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    f = run_chunked(model.step, f, num_steps=400, io_interval=400)
+    m1 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12)
+
+
+@pytest.mark.parametrize("iso,collision", [(4, "SRT"), (8, "SRT"),
+                                           (10, "SRT"), (4, "MRT")])
+def test_efs_phase_separation(iso, collision):
+    model, f = _droplet("EFS", collision=collision, iso=iso, n=40, radius=9.0)
+    f = run_chunked(model.step, f, num_steps=1500, io_interval=500)
+    rho_k, _ = model.macro(f)
+    rho_k = np.asarray(rho_k)
+    n = rho_k.shape[-1]
+    assert np.isfinite(rho_k).all()
+    assert rho_k[0, n // 2, n // 2] > 0.5
+    assert rho_k[0, 3, 3] < 0.3
+
+
+def test_efs_mass_conservation():
+    model, f = _droplet("EFS", n=40, radius=9.0)
+    m0 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    f = run_chunked(model.step, f, num_steps=400, io_interval=400)
+    m1 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12)
+
+
+def test_sc_adhesion_contact_angle_direction():
+    """Fluid-solid interaction sign controls wetting: with G_s < 0 for the
+    droplet fluid it spreads (wetting); with G_s > 0 it beads up
+    (non-wetting).  Check the base width responds accordingly
+    (analytic prediction ``ShanChenD2Q9.__calContactAngle:852-861``)."""
+    n = 56
+    solid = np.zeros((n, n), bool)
+    solid[:2, :] = True
+    widths = {}
+    for label, gs in (("wetting", (-0.3, 0.3)), ("nonwetting", (0.3, -0.3))):
+        model = ShanChenMCMP(
+            geo.from_solid_mask(solid),
+            _two_fluid_params("SC", g_solid=gs), dtype=jnp.float64)
+        f = model.init_state_droplet((1.0, 1.0), (0.06, 0.06),
+                                     center=(2.0, n / 2), radius=10.0)
+        f = run_chunked(model.step, f, num_steps=2000, io_interval=1000)
+        rho_k, _ = model.macro(f)
+        drop = np.asarray(rho_k[0]) > 0.5
+        widths[label] = drop[2, :].sum()
+    assert widths["wetting"] > widths["nonwetting"]
