@@ -115,8 +115,7 @@ class TransportRK:
 
         # collision
         if tp.relaxation == "MRT":
-            geq = eq.feq_transport_linear(lat, conc, u)
-            geq = jnp.moveaxis(geq, 0, 1)  # (T, Q, ny, nx)
+            geq = eq.feq_transport_linear(lat, conc, u)  # (T, Q, ny, nx)
             g = tr.mrt_collide(g, geq, self.mrt_update)
         else:
             if tp.scheme == 5:
@@ -124,9 +123,7 @@ class TransportRK:
                     eq.feq_transport_j(lat, conc[i], u, self.j_coeffs[i])
                     for i in range(tp.num_tracers)])
             else:
-                geq = jnp.stack([
-                    eq.feq_transport_linear(lat, conc[i], u)
-                    for i in range(tp.num_tracers)])
+                geq = eq.feq_transport_linear(lat, conc, u)
             tau_b = jnp.asarray(self.tau_tr, self.dtype).reshape(-1, 1, 1, 1)
             g = g - (g - geq) / tau_b
 

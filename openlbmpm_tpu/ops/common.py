@@ -32,11 +32,20 @@ def bcast_1d(v: np.ndarray, spatial_ndim: int, dtype) -> jnp.ndarray:
     return jnp.asarray(v, dtype=dtype).reshape((-1,) + (1,) * spatial_ndim)
 
 
+def expand_q(x: jnp.ndarray, lat: Lattice) -> jnp.ndarray:
+    """Insert the direction axis: (..., *spatial) -> (..., 1, *spatial)."""
+    return jnp.expand_dims(x, -(lat.dim + 1))
+
+
 def e_dot_u(lat: Lattice, u, dtype):
-    """(Q, *spatial) array of e_i . u for u = (ux, uy[, uz])."""
-    n = u[0].ndim
-    acc = bcast_1d(lat.e[:, 0], n, dtype) * u[0][None]
-    acc = acc + bcast_1d(lat.e[:, 1], n, dtype) * u[1][None]
+    """(..., Q, *spatial) array of e_i . u for u = (ux, uy[, uz]).
+
+    Each u component may carry leading batch axes (fluids/tracers); the
+    direction axis is inserted at -(dim + 1), matching the state layout
+    f = (..., Q, *spatial).
+    """
+    acc = bcast_1d(lat.e[:, 0], lat.dim, dtype) * expand_q(u[0], lat)
+    acc = acc + bcast_1d(lat.e[:, 1], lat.dim, dtype) * expand_q(u[1], lat)
     if lat.dim == 3:
-        acc = acc + bcast_1d(lat.e[:, 2], n, dtype) * u[2][None]
+        acc = acc + bcast_1d(lat.e[:, 2], lat.dim, dtype) * expand_q(u[2], lat)
     return acc

@@ -17,19 +17,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lattice import Lattice
-from .common import bcast_1d, e_dot_u
+from .common import bcast_1d, e_dot_u, expand_q
 
 __all__ = ["feq_quadratic", "feq_rk_original", "feq_transport_j",
            "feq_transport_linear", "rk_constants"]
 
 
 def feq_quadratic(lat: Lattice, rho, u) -> jnp.ndarray:
-    """w_i rho (1 + 3 e.u + 4.5 (e.u)^2 - 1.5 u.u)."""
+    """w_i rho (1 + 3 e.u + 4.5 (e.u)^2 - 1.5 u.u).
+
+    rho: (..., *spatial); u: tuple of same-shaped components.
+    Returns (..., Q, *spatial) — the Q axis sits at -(dim + 1), matching the
+    state layout f = (K, Q, ny, nx).
+    """
     dtype = rho.dtype
     eu = e_dot_u(lat, u, dtype)
-    uu = sum(c * c for c in u)[None]
-    w = bcast_1d(lat.w, rho.ndim, dtype)
-    return w * rho[None] * (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+    uu = expand_q(sum(c * c for c in u), lat)
+    w = bcast_1d(lat.w, lat.dim, dtype)
+    return w * expand_q(rho, lat) * \
+        (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
 
 
 def rk_constants(alpha: float) -> np.ndarray:
@@ -49,10 +55,11 @@ def feq_rk_original(lat: Lattice, rho, u, constants: np.ndarray) -> jnp.ndarray:
     """rho (C_i + w_i (3 e.u + 4.5 (e.u)^2 - 1.5 u.u))."""
     dtype = rho.dtype
     eu = e_dot_u(lat, u, dtype)
-    uu = sum(c * c for c in u)[None]
-    w = bcast_1d(lat.w, rho.ndim, dtype)
-    cc = bcast_1d(constants, rho.ndim, dtype)
-    return rho[None] * (cc + w * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu))
+    uu = expand_q(sum(c * c for c in u), lat)
+    w = bcast_1d(lat.w, lat.dim, dtype)
+    cc = bcast_1d(constants, lat.dim, dtype)
+    return expand_q(rho, lat) * \
+        (cc + w * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu))
 
 
 def feq_transport_j(lat: Lattice, conc, u, j_coeffs: np.ndarray) -> jnp.ndarray:
@@ -63,13 +70,13 @@ def feq_transport_j(lat: Lattice, conc, u, j_coeffs: np.ndarray) -> jnp.ndarray:
     """
     dtype = conc.dtype
     eu = e_dot_u(lat, u, dtype)
-    j = bcast_1d(j_coeffs, conc.ndim, dtype)
-    return conc[None] * (j + 0.5 * eu)
+    j = bcast_1d(j_coeffs, lat.dim, dtype)
+    return expand_q(conc, lat) * (j + 0.5 * eu)
 
 
 def feq_transport_linear(lat: Lattice, conc, u) -> jnp.ndarray:
     """C w_i (1 + 3 e.u) — linear transport equilibrium."""
     dtype = conc.dtype
     eu = e_dot_u(lat, u, dtype)
-    w = bcast_1d(lat.w, conc.ndim, dtype)
-    return conc[None] * w * (1.0 + 3.0 * eu)
+    w = bcast_1d(lat.w, lat.dim, dtype)
+    return expand_q(conc, lat) * w * (1.0 + 3.0 * eu)

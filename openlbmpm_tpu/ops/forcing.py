@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..lattice import Lattice
-from .common import bcast_1d, e_dot_u
+from .common import bcast_1d, e_dot_u, expand_q
 
 __all__ = ["guo_source", "efs_force_pdf"]
 
@@ -26,16 +26,17 @@ def guo_source(lat: Lattice, u, force, prefactor=None) -> jnp.ndarray:
       prefactor: optional scalar/field multiplied in (e.g. 1 - 1/(2 tau)).
     """
     dtype = u[0].dtype
-    n = u[0].ndim
     eu = e_dot_u(lat, u, dtype)
-    w = bcast_1d(lat.w, n, dtype)
+    w = bcast_1d(lat.w, lat.dim, dtype)
     acc = 0.0
     for d in range(lat.dim):
-        ed = bcast_1d(lat.e[:, d], n, dtype)
-        acc = acc + (3.0 * (ed - u[d][None]) + 9.0 * ed * eu) * force[d][None]
+        ed = bcast_1d(lat.e[:, d], lat.dim, dtype)
+        acc = acc + (3.0 * (ed - expand_q(u[d], lat)) + 9.0 * ed * eu) * \
+            expand_q(force[d], lat)
     src = w * acc
     if prefactor is not None:
-        pf = prefactor if jnp.ndim(prefactor) == 0 else prefactor[None]
+        pf = prefactor if jnp.ndim(prefactor) == 0 \
+            else expand_q(prefactor, lat)
         src = src * pf
     return src
 
@@ -43,10 +44,9 @@ def guo_source(lat: Lattice, u, force, prefactor=None) -> jnp.ndarray:
 def efs_force_pdf(lat: Lattice, feq, rho, u, force) -> jnp.ndarray:
     """f^F_i = (F . (e_i - u)) f^eq_i / (rho c_s^2) with c_s^2 = 1/3."""
     dtype = feq.dtype
-    n = rho.ndim
     acc = 0.0
     for d in range(lat.dim):
-        ed = bcast_1d(lat.e[:, d], n, dtype)
-        acc = acc + force[d][None] * (ed - u[d][None])
+        ed = bcast_1d(lat.e[:, d], lat.dim, dtype)
+        acc = acc + expand_q(force[d], lat) * (ed - expand_q(u[d], lat))
     rho_safe = jnp.where(rho > 0, rho, 1.0)
-    return acc * feq * (3.0 / rho_safe[None])
+    return acc * feq * (3.0 / expand_q(rho_safe, lat))

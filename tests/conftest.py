@@ -12,4 +12,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough: the ambient axon sitecustomize registers
+# the TPU plugin at interpreter start, so the platform must also be forced
+# through the config after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -14,9 +14,13 @@ from openlbmpm_tpu.models.colorgradient import (
 def _droplet_model(variant="CSF", collision="SRT", sigma=0.01, n=64,
                    tau_r=1.0, tau_b=1.0):
     solid = np.zeros((n, n), bool)  # fully periodic, no walls
+    # equal unit densities => matched RK alphas (4/9 reduces the RK original
+    # equilibrium to the standard D2Q9 weights); mismatched alphas encode a
+    # density ratio and would crush the droplet.
     params = ColorGradientParams(
         variant=variant, collision=collision, surface_tension=sigma,
-        tau_r=tau_r, tau_b=tau_b, beta=0.7, a_kr=sigma, a_kb=sigma)
+        tau_r=tau_r, tau_b=tau_b, beta=0.7, a_kr=sigma, a_kb=sigma,
+        alpha_r=4.0 / 9.0, alpha_b=4.0 / 9.0)
     return ColorGradientRK(geo.from_solid_mask(solid), params,
                            CGBoundaryConfig(), dtype=jnp.float64)
 

@@ -31,8 +31,11 @@ def _droplet(scheme="SC", collision="SRT", iso=4, n=48, radius=10.0):
                          _two_fluid_params(scheme, collision=collision,
                                            iso=iso),
                          dtype=jnp.float64)
-    # standard SC MCMP droplet: main density 1.0, dissolved background 0.06
-    f = model.init_state_droplet((1.0, 1.0), (0.06, 0.06), radius=radius)
+    # Main density 1.0, dissolved background 0.02.  The reference ini's 0.06
+    # background is ~20x supersaturated at G=3.6 (equilibrium dissolved
+    # density ~0.003): in a closed droplet the minority fluid collects at the
+    # center and nucleates a bubble (real SC physics, wrong test setup).
+    f = model.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=radius)
     return model, f
 
 
@@ -102,7 +105,7 @@ def test_sc_adhesion_contact_angle_direction():
         model = ShanChenMCMP(
             geo.from_solid_mask(solid),
             _two_fluid_params("SC", g_solid=gs), dtype=jnp.float64)
-        f = model.init_state_droplet((1.0, 1.0), (0.06, 0.06),
+        f = model.init_state_droplet((1.0, 1.0), (0.02, 0.02),
                                      center=(2.0, n / 2), radius=10.0)
         f = run_chunked(model.step, f, num_steps=2000, io_interval=1000)
         rho_k, _ = model.macro(f)
