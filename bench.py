@@ -45,11 +45,13 @@ def main():
 
     run = jax.jit(steps, static_argnums=0, donate_argnums=(1, 2))
 
-    # warmup + compile
-    f_r, f_b = run(10, f_r, f_b)
+    # warmup + compile with the SAME step count as the timed run: each
+    # distinct static n compiles a separate executable, so warming with a
+    # different n would leave the timed call paying a full compile.
+    n_steps = 200
+    f_r, f_b = run(n_steps, f_r, f_b)
     jax.block_until_ready((f_r, f_b))
 
-    n_steps = 200
     t0 = time.perf_counter()
     f_r, f_b = run(n_steps, f_r, f_b)
     jax.block_until_ready((f_r, f_b))
