@@ -1,0 +1,233 @@
+"""Non-interactive CLI: ``python -m openlbmpm_tpu run <config.ini> [...]``.
+
+Replaces the reference's interactive ``input()`` menu driver
+(``/root/reference/main.py:40-81``) with flags: model family, step count,
+output directory, dtype, and platform are explicit; nothing blocks on a
+prompt (SURVEY.md section 0 lists the reference's interactive gates).
+
+Subcommands:
+  run        run a simulation from a legacy-dialect INI file
+  bench      quick MLUPS measurement of a model family
+  inspect    parse a config and print the resolved typed parameters
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build_geometry(domain, geometry_kind: str = "box"):
+    from . import geometry as geo
+    if domain.use_image and domain.image_path:
+        solid = geo.load_structure_image(domain.image_path)
+        if domain.duplicate != (1, 1):
+            solid = geo.duplicate_domain(solid, *domain.duplicate)
+        if domain.buffer_layers:
+            solid = geo.add_buffer_layers(solid, domain.buffer_layers)
+        return geo.from_solid_mask(solid)
+    if geometry_kind == "channel":
+        return geo.open_channel(domain.nx, domain.ny)
+    g = geo.box_with_walls(domain.nx, domain.ny)
+    if domain.buffer_layers:
+        return geo.from_solid_mask(
+            geo.add_buffer_layers(g.is_solid, domain.buffer_layers,
+                                  seal_sides=True))
+    return g
+
+
+def _run_colorgradient(args):
+    import jax.numpy as jnp
+
+    from .checkpoint import (config_fingerprint, load_checkpoint,
+                             save_checkpoint)
+    from .config import load_colorgradient
+    from .io import ResultWriter, save_png_field
+    from .metrics import MetricsLogger, flow_diagnostics
+    from .models.base import run_chunked
+    from .models.colorgradient import ColorGradientRK
+
+    params, bcs, domain, run = load_colorgradient(args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    geometry = _build_geometry(domain)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = ColorGradientRK(geometry, params, bcs, dtype=dtype,
+                            use_pallas=not args.no_pallas)
+    state = model.init_state_layers(
+        1.0, 1.0, invading_rows=max(domain.buffer_layers, 10))
+    fingerprint = config_fingerprint(params)
+    start_step = 0
+    ckpt_path = os.path.join(args.output, "checkpoint.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_step = load_checkpoint(ckpt_path, state, fingerprint)
+        print(f"resumed from step {start_step}")
+        if run.is_cycle:
+            from .checkpoint import di_cycle_swap
+            state = di_cycle_swap(*state,
+                                  buffer_rows=max(domain.buffer_layers, 10))
+            print("D-I cycle: fluids swapped in the buffer layers")
+
+    writer = ResultWriter(args.output, basename="SimulationResultsRK")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+
+    def callback(step, s):
+        f_r, f_b = s
+        rho_r, rho_b, phi, (ux, uy) = model.macro(s)
+        writer.write_rk(start_step + step, np.asarray(rho_r),
+                        np.asarray(rho_b), np.asarray(ux), np.asarray(uy),
+                        f_r=np.asarray(f_r), f_b=np.asarray(f_b))
+        if args.png:
+            save_png_field(
+                os.path.join(args.output,
+                             f"phi_{start_step + step:08d}.png"),
+                np.asarray(phi), title=f"phi @ {start_step + step}")
+        d = flow_diagnostics(rho_r, rho_b, ux, uy, geometry.is_fluid)
+        rec = logger.log(start_step + step, **d)
+        save_checkpoint(ckpt_path, s, start_step + step, fingerprint)
+        if args.stop_at_breakthrough and d["breakthrough"]:
+            print(f"breakthrough at step {rec['step']}")
+            return True
+        return False
+
+    run_chunked(model.step, state, num_steps=run.num_steps,
+                io_interval=run.io_interval, callback=callback)
+    logger.close()
+    return 0
+
+
+def _run_shanchen(args):
+    import jax.numpy as jnp
+
+    from .config import load_shanchen
+    from .io import ResultWriter
+    from .metrics import MetricsLogger, flow_diagnostics
+    from .models.base import run_chunked
+    from .models.shanchen import ShanChenMCMP
+
+    params, bcs, domain, run, extras = load_shanchen(args.config,
+                                                     args.physics_config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    geometry = _build_geometry(domain, geometry_kind="channel")
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = ShanChenMCMP(geometry, params, bcs, dtype=dtype)
+    state = model.init_state_layers(
+        extras.get("initial_densities", (1.0, 1.0)),
+        extras.get("background_densities", (0.02, 0.02)))
+    writer = ResultWriter(args.output, basename="SimulationResults")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+
+    def callback(step, f):
+        rho_k, (ux, uy) = model.macro(f)
+        writer.write_sc(step, np.asarray(rho_k), np.asarray(ux),
+                        np.asarray(uy))
+        logger.log(step, **flow_diagnostics(rho_k[0], rho_k[1], ux, uy,
+                                            geometry.is_fluid))
+        return False
+
+    run_chunked(model.step, state, num_steps=run.num_steps,
+                io_interval=run.io_interval, callback=callback)
+    logger.close()
+    return 0
+
+
+def _run_transport(args):
+    import jax.numpy as jnp
+
+    from .config import load_colorgradient, load_transport
+    from .io import ResultWriter
+    from .metrics import MetricsLogger
+    from .models.base import run_chunked
+    from .models.transport import TransportRK
+
+    tparams = load_transport(args.config)
+    flow_params, bcs, domain, run = load_colorgradient(
+        args.physics_config or args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    geometry = _build_geometry(domain)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = TransportRK(geometry, flow_params, tparams, bcs, dtype=dtype)
+    flow_state = model.flow.init_state_layers(
+        1.0, 1.0, invading_rows=max(domain.buffer_layers, 10))
+    ny, nx = geometry.shape
+    conc0 = np.zeros((tparams.num_tracers, ny, nx))
+    state = model.init_state(flow_state, conc0)
+    writer = ResultWriter(args.output, basename="ConcentrationResults")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+
+    def callback(step, s):
+        conc = model.concentration(s.g)
+        writer.write_transport(step, np.asarray(conc))
+        masses = {f"tracer{i}_mass": float(np.asarray(conc[i]).sum())
+                  for i in range(conc.shape[0])}
+        logger.log(step, **masses)
+        return False
+
+    run_chunked(model.step, state, num_steps=run.num_steps,
+                io_interval=run.io_interval, callback=callback)
+    logger.close()
+    return 0
+
+
+def _inspect(args):
+    from .config import (load_colorgradient, load_shanchen, load_transport)
+    loaders = {"cg": lambda: load_colorgradient(args.config)[:2],
+               "sc": lambda: load_shanchen(args.config,
+                                           args.physics_config)[:2],
+               "transport": lambda: (load_transport(args.config),)}
+    out = loaders[args.model]()
+    for obj in out:
+        print(json.dumps(dataclasses.asdict(obj), default=str, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="openlbmpm-tpu",
+        description="TPU-native multicomponent/multiphase LBM for porous "
+                    "media")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("config", help="legacy-dialect INI file")
+        sp.add_argument("--model", choices=("cg", "sc", "transport"),
+                        default="cg", help="model family")
+        sp.add_argument("--physics-config", default=None,
+                        help="secondary INI (SC physics / transport flow)")
+        sp.add_argument("--steps", type=int, default=0,
+                        help="override step count")
+        sp.add_argument("--output", default="results")
+        sp.add_argument("--dtype", choices=("f32", "f64"), default="f32")
+        sp.add_argument("--png", action="store_true",
+                        help="write PNG snapshots at the I/O cadence")
+        sp.add_argument("--no-pallas", action="store_true",
+                        help="force the jnp path (CPU / debugging)")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume from <output>/checkpoint.npz")
+        sp.add_argument("--stop-at-breakthrough", action="store_true")
+
+    runp = sub.add_parser("run", help="run a simulation")
+    common(runp)
+    insp = sub.add_parser("inspect", help="print resolved parameters")
+    common(insp)
+
+    args = p.parse_args(argv)
+    if args.cmd == "inspect":
+        return _inspect(args)
+    os.makedirs(args.output, exist_ok=True)
+    return {"cg": _run_colorgradient, "sc": _run_shanchen,
+            "transport": _run_transport}[args.model](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,3 +1,9 @@
 """Model families: single-phase, Shan-Chen MCMP, color-gradient RK, transport."""
 
-from .single_phase import SinglePhaseD2Q9  # noqa: F401
+from .colorgradient import (CGBoundaryConfig, ColorGradientParams,  # noqa: F401
+                            ColorGradientRK)
+from .shanchen import (SCBoundaryConfig, ShanChenMCMP,  # noqa: F401
+                       ShanChenParams)
+from .single_phase import BoundaryConfig, SinglePhaseD2Q9  # noqa: F401
+from .transport import (TransportParams, TransportRK,  # noqa: F401
+                        TransportState)

@@ -92,7 +92,7 @@ class ColorGradientRK:
 
     def __init__(self, geometry: Geometry, params: ColorGradientParams,
                  boundaries: CGBoundaryConfig = CGBoundaryConfig(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas: bool | str = "auto"):
         self.lat = D2Q9
         self.geo = geometry
         self.p = params
@@ -128,7 +128,25 @@ class ColorGradientRK:
         ny = geometry.ny
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
                            for r in (0, 1, 2, ny - 1, ny - 2)}
+        self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+
+    def _build_fused(self, use_pallas):
+        """Fused Pallas collide-and-stream step (TPU only; the jnp path stays
+        for CPU tests, interpret-mode checks, and sharded meshes)."""
+        if self.p.variant != "CSF" or not use_pallas:
+            return None
+        if use_pallas == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
+        from ..pallas.csf import build_csf_fused_step
+        return build_csf_fused_step(
+            self.geo, self.p, self.dtype,
+            interpret=(use_pallas == "interpret"))
 
     # -- initial conditions ----------------------------------------------
     def init_state_layers(self, rho_r: float = 1.0, rho_b: float = 1.0,
@@ -225,6 +243,8 @@ class ColorGradientRK:
     def _step_csf(self, f_r, f_b):
         f_r, f_b = self._apply_inlet(f_r, f_b)
         f_r, f_b = self._apply_outlet(f_r, f_b)
+        if self._fused is not None:
+            return self._fused(f_r, f_b)
         rho_r, rho_b, phi, gx, gy, fx, fy = self.color_force_fields(f_r, f_b)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)

@@ -1,0 +1,418 @@
+"""Fused CSF color-gradient step as a single Pallas TPU kernel.
+
+One VMEM-resident pass computes, per y-strip of the domain:
+
+    rho/phi -> solid-phi extrapolation -> isotropic gradient -> contact-angle
+    rotation -> curvature + CSF force -> u/tau/feq/Guo source -> (SRT | MRT)
+    collision on the total PDF -> LKR recoloring -> pull-streaming with
+    half-way bounce-back
+
+replacing ~10 HBM passes of the jnp path (the TPU equivalent of the
+reference's fused ``interactionCollisionProcess`` insight,
+``/root/reference/ShanChen2D/OptimizedD2Q9GPU.py:1274``; op order follows
+``runRKColorGradient2DCSF``, ``/root/reference/RKCG2D/RKD2Q9.py:1225-1493``).
+
+Strip-mining scheme
+-------------------
+The grid iterates over strips of ``R`` rows spanning the full width.  The
+x-direction stencils use ``pltpu.roll`` over the lane axis — since a strip
+covers all of x, lane rolls give exact global periodicity.  The y-direction
+needs a halo of H = 4 rows on each side (stream <- post-collision(+-1) <-
+force(+-1) <- gradient(+-2) <- phi_ext(+-3) <- phi/f(+-4)); halos are fetched
+as two extra *blocked* inputs whose index_map picks the H-row slabs of the
+neighboring strips with modular wrap, so edge strips see periodic neighbors.
+Inside the kernel every field is computed over the full (R + 2H)-row window;
+ring contamination from the window edges never reaches the R center rows
+(each stencil application invalidates exactly one ring).
+
+Boundary-condition rows (Zou-He / convective / ghost layers) are applied
+outside the kernel by the model, exactly as the reference interleaves them
+around the collision kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import Geometry, solid_normals, wetting_masks
+from ..lattice import D2Q9
+
+__all__ = ["build_csf_fused_step", "pick_rows_per_block"]
+
+# y-halo rows on each side.  The physics needs 4 (stream <- force(+-1) <-
+# gradient(+-2) <- phi_ext(+-3) <- phi/f(+-4)); 8 satisfies the Mosaic tile
+# constraint that block sublane dims be divisible by 8.
+H = 8
+_EPS = 1.0e-8
+
+
+def pick_rows_per_block(ny: int, nx: int, target_vmem_mb: float = 48.0) -> int:
+    """Largest R dividing ny, multiple of H, that keeps the window budget
+    under `target_vmem_mb` (rough model: ~60 f32 planes of (R+2H, nx))."""
+    best = 0
+    for r in range(H, ny + 1, H):
+        if ny % r:
+            continue
+        mb = 60 * (r + 2 * H) * nx * 4 / 2**20
+        if mb <= target_vmem_mb:
+            best = r
+    return best
+
+
+def _rollx(a, dx: int, nx: int):
+    """Value at x of a(x + dx), periodic in x (lane axis)."""
+    if dx == 0:
+        return a
+    return pltpu.roll(a, (-dx) % nx, axis=a.ndim - 1)
+
+
+def _rolly(a, dy: int, w: int):
+    """Value at row r of a(r + dy) within the strip window (row axis).
+
+    Wrap garbage only touches the outermost |dy| rows of the window, which
+    are never consumed by the center rows.
+    """
+    if dy == 0:
+        return a
+    return pltpu.roll(a, (-dy) % w, axis=a.ndim - 2)
+
+
+def _sh(a, dx: int, dy: int, nx: int, w: int):
+    return _rollx(_rolly(a, dy, w), dx, nx)
+
+
+def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
+                         rows_per_block: int | None = None,
+                         interpret: bool = False):
+    """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``.
+
+    `params` is a ``ColorGradientParams`` (variant must be "CSF").  Returns
+    None when the domain does not strip-decompose (ny not divisible by a
+    usable R).
+    """
+    ny, nx = geometry.shape
+    if rows_per_block is None:
+        rows_per_block = pick_rows_per_block(ny, nx)
+    R = rows_per_block
+    if not R or ny % R or R % H:
+        return None
+    W = R + 2 * H
+    nb = ny // R
+    hb = ny // H  # halo-slab count (H always divides ny when R does)
+
+    lat = D2Q9
+    e = lat.e
+    w_lat = lat.w
+    opp = lat.opp
+
+    # geometry channel stack: is_fluid, wet_fluid, nsx, nsy
+    wet_fluid, _ = wetting_masks(geometry.is_solid)
+    nsx, nsy = solid_normals(geometry.is_solid)
+    has_wetting = bool(wet_fluid.any())
+    geo_np = np.stack([
+        geometry.is_fluid.astype(np.float64),
+        wet_fluid.astype(np.float64),
+        nsx, nsy,
+    ])
+    geo_dev = jnp.asarray(geo_np, dtype)
+
+    theta = math.radians(params.contact_angle_deg)
+    cos_t, sin_t = math.cos(theta), math.sin(theta)
+    sigma = float(params.surface_tension)
+    beta = float(params.beta)
+    delta = float(params.delta)
+    tau_r, tau_b = float(params.tau_r), float(params.tau_b)
+    bfx, bfy = (float(v) for v in params.body_force)
+    inward = params.wetting_type == 2
+    sign = -1.0 if inward else 1.0
+    is_mrt = params.collision == "MRT"
+    # RK MRT base vector with the shear rows zeroed; they get 1/tau(x)
+    s_base = np.array([0.0, 1.64, 1.54, 0.0, 1.9, 0.0, 1.9, 0.0, 0.0])
+    M = lat.M
+    M_inv = lat.M_inv
+
+    def kernel(fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d,
+               out_r, out_b):
+        f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
+        f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
+        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        fl = geo[0]
+        wet = geo[1]
+        ns_x = geo[2]
+        ns_y = geo[3]
+
+        sh = functools.partial(_sh, nx=nx, w=W)
+
+        rho_r = jnp.sum(f_r, axis=0)
+        rho_b = jnp.sum(f_b, axis=0)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
+
+        # --- solid-phi extrapolation (w-weighted fluid-neighbor average) ---
+        if has_wetting:
+            num = jnp.zeros_like(phi)
+            den = jnp.zeros_like(phi)
+            for i in range(1, 9):
+                dx, dy = int(e[i, 0]), int(e[i, 1])
+                wi = float(w_lat[i])
+                fl_n = sh(fl, dx, dy)
+                num = num + wi * fl_n * sh(phi, dx, dy)
+                den = den + wi * fl_n
+            phi_solid = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
+                                  0.0)
+            phi_ext = jnp.where(fl > 0.5, phi, phi_solid)
+        else:
+            phi_ext = phi
+
+        # --- isotropic color gradient ---
+        gx = jnp.zeros_like(phi)
+        gy = jnp.zeros_like(phi)
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            wi = float(w_lat[i])
+            s = sh(phi_ext, dx, dy)
+            if dx:
+                gx = gx + (wi * dx) * s
+            if dy:
+                gy = gy + (wi * dy) * s
+        gx = 3.0 * gx
+        gy = 3.0 * gy
+
+        # --- contact-angle enforcement on wetting fluid nodes ---
+        if has_wetting:
+            norm = jnp.sqrt(gx * gx + gy * gy)
+            safe = norm > _EPS
+            norm_s = jnp.where(safe, norm, 1.0)
+            if inward:  # Akai 2018 (wetting_type == 2)
+                ux_ = jnp.where(safe, -gx / norm_s, 0.0)
+                uy_ = jnp.where(safe, -gy / norm_s, 0.0)
+                dot = jnp.clip(ux_ * ns_x + uy_ * ns_y, -1.0, 1.0)
+                # cos(theta_gs) = dot, sin(theta_gs) = sqrt(1 - dot^2):
+                # no arccos needed (and acos does not lower on TPU).
+                sin_gs = jnp.sqrt(jnp.maximum(1.0 - dot * dot, 0.0))
+                ok = sin_gs > 1.0e-9
+                sin_ok = jnp.where(ok, sin_gs, 1.0)
+                c1 = jnp.where(ok, sin_t * dot / sin_ok, 0.0)
+                c2 = jnp.where(ok, sin_t / sin_ok, 0.0)
+                n1x = (cos_t - c1) * ns_x + c2 * ux_
+                n1y = (cos_t - c1) * ns_y + c2 * uy_
+                n2x = (cos_t + c1) * ns_x - c2 * ux_
+                n2y = (cos_t + c1) * ns_y - c2 * uy_
+                d1 = jnp.sqrt((n1x - ux_) ** 2 + (n1y - uy_) ** 2)
+                d2 = jnp.sqrt((n2x - ux_) ** 2 + (n2y - uy_) ** 2)
+                pick1 = d1 < d2
+                tie = d1 == d2
+                mx_ = jnp.where(pick1, n1x, n2x)
+                my_ = jnp.where(pick1, n1y, n2y)
+                gx_new = jnp.where(tie, gx, -norm * mx_)
+                gy_new = jnp.where(tie, gy, -norm * my_)
+            else:  # Xu 2017 (wetting_type == 1)
+                ux_ = jnp.where(safe, gx / norm_s, 0.0)
+                uy_ = jnp.where(safe, gy / norm_s, 0.0)
+                n1x = ns_x * cos_t - ns_y * sin_t
+                n1y = ns_y * cos_t + ns_x * sin_t
+                n2x = ns_x * cos_t + ns_y * sin_t
+                n2y = ns_y * cos_t - ns_x * sin_t
+                d1 = jnp.sqrt((ux_ - n1x) ** 2 + (uy_ - n1y) ** 2)
+                d2 = jnp.sqrt((ux_ - n2x) ** 2 + (uy_ - n2y) ** 2)
+                mx_ = jnp.where(d1 < d2, n1x, jnp.where(d1 > d2, n2x, ns_x))
+                my_ = jnp.where(d1 < d2, n1y, jnp.where(d1 > d2, n2y, ns_y))
+                gx_new = norm * mx_
+                gy_new = norm * my_
+            wetm = wet > 0.5
+            gx = jnp.where(wetm, gx_new, gx)
+            gy = jnp.where(wetm, gy_new, gy)
+
+        # --- curvature + CSF force ---
+        norm = jnp.sqrt(gx * gx + gy * gy)
+        safe = norm > (_EPS if inward else 0.0)
+        norm_s = jnp.where(safe, norm, 1.0)
+        nhx = jnp.where(safe, sign * gx / norm_s, 0.0) * fl
+        nhy = jnp.where(safe, sign * gy / norm_s, 0.0) * fl
+        dx_ny = jnp.zeros_like(gx)
+        dy_nx = jnp.zeros_like(gx)
+        dx_nx = jnp.zeros_like(gx)
+        dy_ny = jnp.zeros_like(gx)
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            w3 = 3.0 * float(w_lat[i])
+            sx = sh(nhx, dx, dy)
+            sy = sh(nhy, dx, dy)
+            if dx:
+                dx_ny = dx_ny + (w3 * dx) * sy
+                dx_nx = dx_nx + (w3 * dx) * sx
+            if dy:
+                dy_nx = dy_nx + (w3 * dy) * sx
+                dy_ny = dy_ny + (w3 * dy) * sy
+        kappa = nhx * nhy * (dx_ny + dy_nx) - nhy * nhy * dx_nx \
+            - nhx * nhx * dy_ny
+        fx = sign * 0.5 * sigma * kappa * gx
+        fy = sign * 0.5 * sigma * kappa * gy
+        if bfx or bfy:
+            fx = fx + bfx * rho
+            fy = fy + bfy * rho
+        fx = fx * fl
+        fy = fy * fl
+
+        # --- macroscopic velocity and tau(phi) ---
+        f_tot = f_r + f_b
+        mx = jnp.zeros_like(rho)
+        my = jnp.zeros_like(rho)
+        for i in range(1, 9):
+            exi, eyi = float(e[i, 0]), float(e[i, 1])
+            if exi:
+                mx = mx + exi * f_tot[i]
+            if eyi:
+                my = my + eyi * f_tot[i]
+        ux = (mx + 0.5 * fx) / rho_safe
+        uy = (my + 0.5 * fy) / rho_safe
+
+        if params.tau_type == 1:
+            tau_mid = 0.5 + 1.0 / ((1.0 + phi) / (2.0 * (tau_r - 0.5)) +
+                                   (1.0 - phi) / (2.0 * (tau_b - 0.5)))
+        else:
+            ratio_r = rho_r / rho_safe
+            ratio_b = rho_b / rho_safe
+            mu = 1.0 / (ratio_r * (3.0 / (tau_r - 0.5)) +
+                        ratio_b * (3.0 / (tau_b - 0.5)))
+            tau_mid = 3.0 * mu + 0.5
+        tau = jnp.where(phi > delta, tau_r,
+                        jnp.where(phi < -delta, tau_b, tau_mid))
+        inv_tau = 1.0 / tau
+
+        # --- collision on the total PDF + Guo source ---
+        # feq is linear in rho, so feq_tot = feq(rho_r + rho_b, u).
+        uu = ux * ux + uy * uy
+        post = [None] * 9
+        if is_mrt:
+            # Shared moment transform: f' = f + src - M^-1 S M g with
+            # g = (f - feq) + src/2 (collision and the (I - S/2) force
+            # correction use the same S).
+            gmats = []
+            for i in range(9):
+                eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
+                feq_i = float(w_lat[i]) * rho * \
+                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+                src_i = float(w_lat[i]) * (
+                    3.0 * (float(e[i, 0]) - ux) * fx +
+                    3.0 * (float(e[i, 1]) - uy) * fy +
+                    9.0 * float(e[i, 0]) * eu * fx +
+                    9.0 * float(e[i, 1]) * eu * fy)
+                gmats.append(f_tot[i] - feq_i + 0.5 * src_i)
+                post[i] = f_tot[i] + src_i
+            # m = M g ; sm = S m (s7, s8 <- 1/tau) ; f' -= M_inv sm
+            moments = []
+            for a in range(9):
+                acc = None
+                for b in range(9):
+                    c = float(M[a, b])
+                    if c == 0.0:
+                        continue
+                    term = gmats[b] if c == 1.0 else c * gmats[b]
+                    acc = term if acc is None else acc + term
+                moments.append(acc)
+            for a in (7, 8):
+                moments[a] = moments[a] * inv_tau
+            for a in (0, 3, 5):
+                moments[a] = None  # s = 0 on conserved moments
+            for a in (1, 2, 4, 6):
+                moments[a] = moments[a] * float(s_base[a])
+            for i in range(9):
+                acc = post[i]
+                for a in range(9):
+                    if moments[a] is None:
+                        continue
+                    c = float(M_inv[i, a])
+                    if c == 0.0:
+                        continue
+                    acc = acc - (moments[a] if c == 1.0 else c * moments[a])
+                post[i] = acc
+        else:
+            pref = 1.0 - 0.5 * inv_tau
+            for i in range(9):
+                eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
+                feq_i = float(w_lat[i]) * rho * \
+                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+                src_i = float(w_lat[i]) * (
+                    3.0 * (float(e[i, 0]) - ux) * fx +
+                    3.0 * (float(e[i, 1]) - uy) * fy +
+                    9.0 * float(e[i, 0]) * eu * fx +
+                    9.0 * float(e[i, 1]) * eu * fy)
+                post[i] = f_tot[i] - (f_tot[i] - feq_i) * inv_tau \
+                    + pref * src_i
+
+        # --- LKR recoloring ---
+        gnorm = jnp.sqrt(gx * gx + gy * gy)
+        gsafe = gnorm > _EPS
+        gnorm_s = jnp.where(gsafe, gnorm, 1.0)
+        frac_r = rho_r / rho_safe
+        seg_base = beta * rho_r * rho_b / rho_safe
+        fr_post = [None] * 9
+        fb_post = [None] * 9
+        for i in range(9):
+            if i == 0:
+                seg = 0.0
+            else:
+                eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
+                cos_enorm = jnp.where(gsafe, eg / gnorm_s, 0.0)
+                seg = seg_base * float(w_lat[i]) * cos_enorm
+            fr_post[i] = frac_r * post[i] + seg
+            fb_post[i] = (1.0 - frac_r) * post[i] - seg
+
+        # --- pull-streaming with half-way bounce-back, masked to pores ---
+        fl_c = fl[H:H + R]
+        for i in range(9):
+            if i == 0:
+                out_r[0] = fr_post[0][H:H + R] * fl_c
+                out_b[0] = fb_post[0][H:H + R] * fl_c
+                continue
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            io = int(opp[i])
+            # upwind source x - e_i solid?
+            up_solid = sh(1.0 - fl, -dx, -dy)[H:H + R] > 0.5
+            pulled_r = sh(fr_post[i], -dx, -dy)[H:H + R]
+            pulled_b = sh(fb_post[i], -dx, -dy)[H:H + R]
+            out_r[i] = jnp.where(up_solid, fr_post[io][H:H + R],
+                                 pulled_r) * fl_c
+            out_b[i] = jnp.where(up_solid, fb_post[io][H:H + R],
+                                 pulled_b) * fl_c
+
+    center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
+    halo_up = pl.BlockSpec((9, H, nx),
+                           lambda i: (0, (i * (R // H) - 1) % hb, 0))
+    halo_dn = pl.BlockSpec((9, H, nx),
+                           lambda i: (0, (i * (R // H) + R // H) % hb, 0))
+    gcenter = pl.BlockSpec((4, R, nx), lambda i: (0, i, 0))
+    ghalo_up = pl.BlockSpec((4, H, nx),
+                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
+    ghalo_dn = pl.BlockSpec((4, H, nx),
+                            lambda i: (0, (i * (R // H) + R // H) % hb, 0))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[center, halo_up, halo_dn,
+                  center, halo_up, halo_dn,
+                  gcenter, ghalo_up, ghalo_dn],
+        out_specs=(pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
+                   pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((9, ny, nx), dtype),
+                   jax.ShapeDtypeStruct((9, ny, nx), dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def step(f_r, f_b):
+        return call(f_r, f_r, f_r, f_b, f_b, f_b,
+                    geo_dev, geo_dev, geo_dev)
+
+    return step
