@@ -218,6 +218,48 @@ def solid_normals(is_solid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return nsx * fluid, nsy * fluid
 
 
+def _roll_nd(a: np.ndarray, offs) -> np.ndarray:
+    """Value at x of a(x + off) with periodic wrap; offs = (dx, dy[, dz])
+    in the lattice's (x, y[, z]) component order, arrays indexed
+    [z, ]y, x."""
+    out = a
+    for axis, d in zip(range(a.ndim - 1, -1, -1), offs):
+        out = np.roll(out, -int(d), axis=axis)
+    return out
+
+
+def solid_normals_nd(is_solid: np.ndarray, lat) -> tuple[np.ndarray, ...]:
+    """Unit solid-surface normals on fluid nodes via the lattice's own
+    weighted stencil — the 3D counterpart of :func:`solid_normals`."""
+    solid = np.asarray(is_solid, dtype=np.float64)
+    dim = lat.dim
+    acc = [np.zeros_like(solid) for _ in range(dim)]
+    for i in range(1, lat.q):
+        s = _roll_nd(solid, lat.e[i])
+        w = float(lat.w[i])
+        for d in range(dim):
+            ed = int(lat.e[i, d])
+            if ed:
+                acc[d] += w * ed * s
+    norm = np.sqrt(sum(c * c for c in acc))
+    safe = norm > 0
+    fluid = ~np.asarray(is_solid, dtype=bool)
+    return tuple(np.where(safe, c / np.where(safe, norm, 1.0), 0.0) * fluid
+                 for c in acc)
+
+
+def wetting_masks_nd(is_solid: np.ndarray, lat) -> tuple[np.ndarray, np.ndarray]:
+    """(wetting_fluid, wetting_solid) masks for any lattice dimension."""
+    solid = np.asarray(is_solid, dtype=bool)
+    fluid = ~solid
+    any_solid = np.zeros_like(solid)
+    any_fluid = np.zeros_like(solid)
+    for i in range(1, lat.q):
+        any_solid |= _roll_nd(solid, lat.e[i])
+        any_fluid |= _roll_nd(fluid, lat.e[i])
+    return fluid & any_solid, solid & any_fluid
+
+
 def wetting_masks(is_solid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Boolean (wetting_fluid, wetting_solid) masks.
 

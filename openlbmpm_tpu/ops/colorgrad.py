@@ -31,8 +31,10 @@ from .common import bcast_1d, shift
 __all__ = [
     "phase_field", "solid_phi_extrapolate", "color_gradient",
     "rotate_gradient_on_wetting_xu", "rotate_gradient_on_wetting_akai",
-    "csf_force", "tau_interp_csf", "tau_interp_grunau",
-    "perturbation", "recolor_lkr", "recolor_rk_original", "B_CONSTANTS",
+    "rotate_gradient_on_wetting_akai_nd",
+    "csf_force", "csf_force_nd", "tau_interp_csf", "tau_interp_grunau",
+    "perturbation", "recolor_lkr", "recolor_lkr_nd", "recolor_rk_original",
+    "B_CONSTANTS",
 ]
 
 # Perturbation constants B_i (``RKD2Q9.py:127-129``).
@@ -49,37 +51,43 @@ def phase_field(rho_r, rho_b):
     return jnp.where(s != 0, (rho_r - rho_b) / jnp.where(s != 0, s, 1.0), 0.0)
 
 
-def solid_phi_extrapolate(phi, is_fluid):
+def _shift_e(a, e_i, dim: int):
+    """Shift by one lattice velocity (2D or 3D)."""
+    if dim == 3:
+        return shift(a, int(e_i[0]), int(e_i[1]), int(e_i[2]))
+    return shift(a, int(e_i[0]), int(e_i[1]))
+
+
+def solid_phi_extrapolate(phi, is_fluid, lat: Lattice = D2Q9):
     """Extend phi onto solid voxels as the w-weighted average of fluid
     neighbors; returns the full field (phi on fluid, extrapolation on solid).
     """
-    lat = D2Q9
     fl = is_fluid.astype(phi.dtype)
     num = jnp.zeros_like(phi)
     den = jnp.zeros_like(phi)
     for i in range(1, lat.q):
-        dx, dy = int(lat.e[i, 0]), int(lat.e[i, 1])
         w = float(lat.w[i])
-        fl_n = shift(fl, dx, dy)
-        num = num + w * fl_n * shift(phi, dx, dy)
+        fl_n = _shift_e(fl, lat.e[i], lat.dim)
+        num = num + w * fl_n * _shift_e(phi, lat.e[i], lat.dim)
         den = den + w * fl_n
     phi_solid = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
     return jnp.where(is_fluid, phi, phi_solid)
 
 
 def color_gradient(phi_ext, lat: Lattice = D2Q9):
-    """grad phi = 3 sum_i w_i phi(x + e_i) e_i (isotropic 2nd-order)."""
-    gx = jnp.zeros_like(phi_ext)
-    gy = jnp.zeros_like(phi_ext)
+    """grad phi = 3 sum_i w_i phi(x + e_i) e_i (isotropic 2nd-order).
+
+    Returns a tuple of lat.dim gradient components.
+    """
+    g = [jnp.zeros_like(phi_ext) for _ in range(lat.dim)]
     for i in range(1, lat.q):
-        dx, dy = int(lat.e[i, 0]), int(lat.e[i, 1])
         w = float(lat.w[i])
-        s = shift(phi_ext, dx, dy)
-        if dx:
-            gx = gx + (w * dx) * s
-        if dy:
-            gy = gy + (w * dy) * s
-    return 3.0 * gx, 3.0 * gy
+        s = _shift_e(phi_ext, lat.e[i], lat.dim)
+        for d in range(lat.dim):
+            ed = int(lat.e[i, d])
+            if ed:
+                g[d] = g[d] + (w * ed) * s
+    return tuple(3.0 * c for c in g)
 
 
 def rotate_gradient_on_wetting_xu(gx, gy, nsx, nsy, cos_t, sin_t, wet_mask):
@@ -262,6 +270,105 @@ def recolor_lkr(f_total, rho_r, rho_b, gx, gy, beta, lat: Lattice = D2Q9):
         _cos_theta_times_enorm(gx, gy, lat, dtype)
     f_r = frac_r[None] * f_total + seg
     f_b = (1.0 - frac_r)[None] * f_total - seg
+    return f_r, f_b
+
+
+def csf_force_nd(g, sigma, is_fluid, inward_normal: bool = False,
+                 lat: Lattice = D2Q9):
+    """Dimension-generic CSF force F = +-(1/2) sigma kappa grad(phi).
+
+    kappa = sum_ab (n_a n_b - delta_ab) d_a n_b — the tangential-projected
+    divergence of the unit normal; reduces exactly to the reference's 2D
+    expansion (``calForceTermInColorGradient2D:1686-1735``) via
+    1 - n_a^2 = sum_{b != a} n_b^2.
+
+    Args:
+      g: tuple of lat.dim gradient components.
+    Returns (force components tuple, kappa).
+    """
+    dim = lat.dim
+    sign = -1.0 if inward_normal else 1.0
+    norm = jnp.sqrt(sum(c * c for c in g))
+    safe = norm > (_EPS if inward_normal else 0.0)
+    norm_s = jnp.where(safe, norm, 1.0)
+    fl = is_fluid.astype(g[0].dtype)
+    nh = [jnp.where(safe, sign * c / norm_s, 0.0) * fl for c in g]
+    # partials d_a n_b via the same isotropic stencil
+    dn = [[jnp.zeros_like(g[0]) for _ in range(dim)] for _ in range(dim)]
+    for i in range(1, lat.q):
+        w3 = 3.0 * float(lat.w[i])
+        shifted = [_shift_e(nh[b], lat.e[i], dim) for b in range(dim)]
+        for a in range(dim):
+            ea = int(lat.e[i, a])
+            if not ea:
+                continue
+            for b in range(dim):
+                dn[a][b] = dn[a][b] + (w3 * ea) * shifted[b]
+    kappa = jnp.zeros_like(g[0])
+    for a in range(dim):
+        for b in range(dim):
+            coef = nh[a] * nh[b] - (1.0 if a == b else 0.0)
+            kappa = kappa + coef * dn[a][b]
+    force = tuple(sign * 0.5 * sigma * kappa * c for c in g)
+    return force, kappa
+
+
+def rotate_gradient_on_wetting_akai_nd(g, ns, cos_t, sin_t, wet_mask):
+    """Dimension-generic Akai 2018 contact-angle enforcement.
+
+    Works in the plane spanned by (n_s, n-hat = -g/|g|) in any dimension:
+    the two candidate directions at angle theta from n_s are
+    (cos_t -+ c1) n_s +- c2 n-hat with c1 = sin_t cos(theta_gs)/sin(theta_gs)
+    and c2 = sin_t/sin(theta_gs); the nearer candidate wins.
+
+    Args:
+      g: tuple of gradient components; ns: tuple of solid-normal components.
+    Returns the rotated gradient tuple.
+    """
+    dim = len(g)
+    norm = jnp.sqrt(sum(c * c for c in g))
+    safe = norm > _EPS
+    norm_s = jnp.where(safe, norm, 1.0)
+    u = [jnp.where(safe, -c / norm_s, 0.0) for c in g]
+    dot = jnp.clip(sum(u[d] * ns[d] for d in range(dim)), -1.0, 1.0)
+    sin_gs = jnp.sqrt(jnp.maximum(1.0 - dot * dot, 0.0))
+    ok = sin_gs > 1.0e-9
+    sin_ok = jnp.where(ok, sin_gs, 1.0)
+    c1 = jnp.where(ok, sin_t * dot / sin_ok, 0.0)
+    c2 = jnp.where(ok, sin_t / sin_ok, 0.0)
+    n1 = [(cos_t - c1) * ns[d] + c2 * u[d] for d in range(dim)]
+    n2 = [(cos_t + c1) * ns[d] - c2 * u[d] for d in range(dim)]
+    d1 = jnp.sqrt(sum((n1[d] - u[d]) ** 2 for d in range(dim)))
+    d2 = jnp.sqrt(sum((n2[d] - u[d]) ** 2 for d in range(dim)))
+    pick1 = d1 < d2
+    tie = d1 == d2
+    out = []
+    for d in range(dim):
+        m = jnp.where(pick1, n1[d], n2[d])
+        rotated = jnp.where(tie, g[d], -norm * m)
+        out.append(jnp.where(wet_mask, rotated, g[d]))
+    return tuple(out)
+
+
+def recolor_lkr_nd(f_total, rho_r, rho_b, g, beta, lat: Lattice):
+    """Dimension-generic Latva-Kokko-Rothman segregation on the total PDF."""
+    dtype = f_total.dtype
+    dim = lat.dim
+    rho = rho_r + rho_b
+    rho_safe = jnp.where(rho != 0, rho, 1.0)
+    frac_r = rho_r / rho_safe
+    norm = jnp.sqrt(sum(c * c for c in g))
+    safe = norm > _EPS
+    norm_s = jnp.where(safe, norm, 1.0)
+    eg = sum(bcast_1d(lat.e[:, d], dim, dtype) *
+             jnp.expand_dims(g[d], -(dim + 1)) for d in range(dim))
+    cos_enorm = jnp.where(jnp.expand_dims(safe, -(dim + 1)),
+                          eg / jnp.expand_dims(norm_s, -(dim + 1)), 0.0)
+    seg = jnp.expand_dims(beta * rho_r * rho_b / rho_safe, -(dim + 1)) * \
+        bcast_1d(lat.w, dim, dtype) * cos_enorm
+    qx = jnp.expand_dims(frac_r, -(dim + 1))
+    f_r = qx * f_total + seg
+    f_b = (1.0 - qx) * f_total - seg
     return f_r, f_b
 
 

@@ -1,0 +1,104 @@
+"""Multi-chip domain decomposition: the same case on 1 device and on a
+sharded 8-device mesh must agree to rounding (SURVEY.md section 4c).
+
+The virtual mesh comes from --xla_force_host_platform_device_count=8
+(conftest).  XLA's SPMD partitioner lowers the jnp.roll halo reads into
+collective-permute exchanges; no code changes between the two runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openlbmpm_tpu import geometry as geo
+from openlbmpm_tpu.models.base import run_chunked
+from openlbmpm_tpu.models.colorgradient import (
+    CGBoundaryConfig, ColorGradientParams, ColorGradientRK)
+from openlbmpm_tpu.models.shanchen import ShanChenMCMP, ShanChenParams
+from openlbmpm_tpu.parallel.mesh import (domain_sharding, make_mesh,
+                                         shard_domain)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the 8-device CPU mesh")
+
+
+def _run_sharded(model, state, steps, n_devices=8, ndim=3):
+    mesh = make_mesh(n_devices)
+    state = shard_domain(state, mesh)
+    shard = domain_sharding(mesh, ndim)
+    if isinstance(state, tuple):
+        step = jax.jit(model._step_impl,
+                       in_shardings=(shard,) * len(state),
+                       out_shardings=(shard,) * len(state))
+        for _ in range(steps):
+            state = step(*state)
+    else:
+        step = jax.jit(model._step_impl, in_shardings=shard,
+                       out_shardings=shard)
+        for _ in range(steps):
+            state = step(state)
+    return state
+
+
+def test_csf_sharded_equals_single():
+    ny, nx = 64, 128   # nx divisible by 8
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(variant="CSF", collision="MRT",
+                                 surface_tension=0.01, tau_type=2,
+                                 wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                            dtype=jnp.float64, use_pallas=False)
+    state0 = model.init_state_layers(1.0, 1.0, invading_rows=12)
+
+    ref = state0
+    for _ in range(20):
+        ref = model._step_impl(*ref)
+    shd = _run_sharded(model, state0, 20)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(shd[0]),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(shd[1]),
+                               rtol=0, atol=1e-12)
+
+
+def test_shanchen_sharded_equals_single():
+    ny, nx = 48, 64
+    params = ShanChenParams(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                            g_solid=(0.0, 0.0), tau=(1.0, 1.0))
+    model = ShanChenMCMP(geo.from_solid_mask(np.zeros((ny, nx), bool)),
+                         params, dtype=jnp.float64)
+    state0 = model.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=10.0)
+    ref = state0
+    for _ in range(20):
+        ref = model._step_impl(ref)
+    shd = _run_sharded(model, state0, 20, ndim=4)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(shd),
+                               rtol=0, atol=1e-12)
+
+
+def test_sharded_2d_mesh():
+    """2D ('y','x') mesh decomposition also reproduces the single-device
+    run (both spatial axes sharded)."""
+    ny, nx = 64, 64
+    params = ColorGradientParams(variant="CSF", collision="SRT",
+                                 surface_tension=0.01)
+    model = ColorGradientRK(geo.from_solid_mask(np.zeros((ny, nx), bool)),
+                            params, CGBoundaryConfig(), dtype=jnp.float64,
+                            use_pallas=False)
+    state0 = model.init_state_droplet(1.0, 1.0, radius=14.0)
+    ref = state0
+    for _ in range(10):
+        ref = model._step_impl(*ref)
+    mesh = make_mesh(shape=(2, 4))
+    state = shard_domain(state0, mesh)
+    shard = domain_sharding(mesh, 3)
+    step = jax.jit(model._step_impl, in_shardings=(shard, shard),
+                   out_shardings=(shard, shard))
+    for _ in range(10):
+        state = step(*state)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(state[0]),
+                               rtol=0, atol=1e-12)
