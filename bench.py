@@ -38,22 +38,32 @@ def main():
                             dtype=jnp.float32)
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_rows=100)
 
-    def steps(n, f_r, f_b):
+    # temporally-blocked fused Pallas kernel: 4 time steps per launch with
+    # the boundary rows applied in-kernel (models/colorgradient
+    # make_block_step); falls back to the single-step path off-TPU.
+    t_block = 4
+    block = model.make_block_step(steps_per_call=t_block, rows_per_block=64)
+    if block is None:
+        t_block = 1
+        block = model._step_impl
+
+    def steps(n_calls, f_r, f_b):
         def body(_, s):
-            return model._step_impl(*s)
-        return jax.lax.fori_loop(0, n, body, (f_r, f_b))
+            return block(*s)
+        return jax.lax.fori_loop(0, n_calls, body, (f_r, f_b))
 
     run = jax.jit(steps, static_argnums=0, donate_argnums=(1, 2))
 
-    # warmup + compile with the SAME step count as the timed run: each
+    # warmup + compile with the SAME call count as the timed run: each
     # distinct static n compiles a separate executable, so warming with a
     # different n would leave the timed call paying a full compile.
     n_steps = 200
-    f_r, f_b = run(n_steps, f_r, f_b)
+    n_calls = n_steps // t_block
+    f_r, f_b = run(n_calls, f_r, f_b)
     jax.block_until_ready((f_r, f_b))
 
     t0 = time.perf_counter()
-    f_r, f_b = run(n_steps, f_r, f_b)
+    f_r, f_b = run(n_calls, f_r, f_b)
     jax.block_until_ready((f_r, f_b))
     dt = time.perf_counter() - t0
 

@@ -17,7 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["MetricsLogger", "flow_diagnostics", "steady_state_criterion",
-           "measured_contact_angle"]
+           "measured_contact_angle", "analytic_sc_contact_angle"]
+
+
+def analytic_sc_contact_angle(g_solid_0: float, g_solid_1: float,
+                              g_fluid: float, rho_main: float,
+                              rho_dissolved: float) -> float:
+    """Analytic Shan-Chen contact-angle prediction (Huang et al. 2007):
+    cos(theta) = (G_s1 - G_s0) / (G (rho_main - rho_dissolved) / 2)
+    (``ShanChenD2Q9.__calContactAngle:852-861``).  Returns degrees."""
+    cos_t = (g_solid_1 - g_solid_0) / (
+        g_fluid * (rho_main - rho_dissolved) / 2.0)
+    return float(np.degrees(np.arccos(np.clip(cos_t, -1.0, 1.0))))
 
 
 def flow_diagnostics(rho_inv, rho_def, ux, uy, is_fluid,

@@ -136,6 +136,8 @@ class ColorGradientRK:
         for CPU tests, interpret-mode checks, and sharded meshes)."""
         if self.p.variant != "CSF" or not use_pallas:
             return None
+        if self.bcs.outlet == "modified_periodic":
+            return None  # seam color swap handled on the jnp path only
         if use_pallas == "auto":
             try:
                 platform = jax.devices()[0].platform
@@ -147,6 +149,22 @@ class ColorGradientRK:
         return build_csf_fused_step(
             self.geo, self.p, self.dtype,
             interpret=(use_pallas == "interpret"))
+
+    def make_block_step(self, steps_per_call: int = 2,
+                        rows_per_block: int | None = None,
+                        interpret: bool = False):
+        """Temporally-blocked fused step: advances `steps_per_call` time
+        steps per call with boundary rows applied in-kernel between
+        sub-steps (CSF only).  HBM traffic per step drops ~steps_per_call-x
+        on DMA-bound domains.  Returns None when the domain does not
+        strip-decompose."""
+        if self.p.variant != "CSF":
+            return None
+        from ..pallas.csf import build_csf_fused_step
+        return build_csf_fused_step(
+            self.geo, self.p, self.dtype, rows_per_block,
+            steps_per_call=steps_per_call, bc_config=self.bcs,
+            interpret=interpret)
 
     # -- initial conditions ----------------------------------------------
     def init_state_layers(self, rho_r: float = 1.0, rho_b: float = 1.0,
@@ -272,7 +290,7 @@ class ColorGradientRK:
                                   self.lat)
         f_r = stream(f_r, self.lat, self.upwind_solid) * self.fluid_mask
         f_b = stream(f_b, self.lat, self.upwind_solid) * self.fluid_mask
-        return f_r, f_b
+        return self._post_stream(f_r, f_b)
 
     # -- Perturbation step --------------------------------------------------
     def _pert_gradient(self, rho_r, rho_b):
@@ -321,6 +339,17 @@ class ColorGradientRK:
             self.const_cr, self.const_cb, self.lat)
         f_r = stream(f_r, self.lat, self.upwind_solid) * self.fluid_mask
         f_b = stream(f_b, self.lat, self.upwind_solid) * self.fluid_mask
+        return self._post_stream(f_r, f_b)
+
+    def _post_stream(self, f_r, f_b):
+        """Post-streaming seam handling: the 'modified periodic' boundary
+        swaps the incoming colors at the periodic seam so an invading front
+        re-enters as the defending fluid
+        (``calModifiedPeriodicBoundary:1382-1408``)."""
+        if self.bcs.outlet == "modified_periodic":
+            ny = self.geo.ny
+            f_r, f_b = bc.modified_periodic_color_swap(
+                f_r, f_b, self._row_masks[0], self._row_masks[ny - 1])
         return f_r, f_b
 
     def _step_impl(self, f_r, f_b):

@@ -45,6 +45,7 @@ class TransportParams:
     tau: tuple = (1.0,)                   # per-tracer relaxation times
     j0: tuple = (0.25,)                   # J-scheme rest coefficients (D2Q5)
     relaxation: Literal["SRT", "MRT"] = "SRT"
+    mrt_equilibrium: Literal["linear", "quadratic"] = "linear"
     # anisotropic diffusion tensor per tracer (MRT only)
     diff_x: tuple = (0.1,)
     diff_y: tuple = (0.1,)
@@ -115,7 +116,10 @@ class TransportRK:
 
         # collision
         if tp.relaxation == "MRT":
-            geq = eq.feq_transport_linear(lat, conc, u)  # (T, Q, ny, nx)
+            feq_fn = eq.feq_transport_quadratic \
+                if tp.mrt_equilibrium == "quadratic" \
+                else eq.feq_transport_linear
+            geq = feq_fn(lat, conc, u)  # (T, Q, ny, nx)
             g = tr.mrt_collide(g, geq, self.mrt_update)
         else:
             if tp.scheme == 5:

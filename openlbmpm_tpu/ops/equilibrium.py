@@ -20,7 +20,8 @@ from ..lattice import Lattice
 from .common import bcast_1d, e_dot_u, expand_q
 
 __all__ = ["feq_quadratic", "feq_rk_original", "feq_transport_j",
-           "feq_transport_linear", "rk_constants"]
+           "feq_transport_linear", "feq_transport_quadratic",
+           "rk_constants"]
 
 
 def feq_quadratic(lat: Lattice, rho, u) -> jnp.ndarray:
@@ -80,3 +81,14 @@ def feq_transport_linear(lat: Lattice, conc, u) -> jnp.ndarray:
     eu = e_dot_u(lat, u, dtype)
     w = bcast_1d(lat.w, lat.dim, dtype)
     return expand_q(conc, lat) * w * (1.0 + 3.0 * eu)
+
+
+def feq_transport_quadratic(lat: Lattice, conc, u) -> jnp.ndarray:
+    """C w_i (1 + 3 e.u + 4.5 (e.u)^2 - 1.5 u.u) — quadratic transport
+    equilibrium (``AccelerateTransport2DRK.py:596-659`` MRT variant)."""
+    dtype = conc.dtype
+    eu = e_dot_u(lat, u, dtype)
+    uu = expand_q(sum(c * c for c in u), lat)
+    w = bcast_1d(lat.w, lat.dim, dtype)
+    return expand_q(conc, lat) * w * \
+        (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)

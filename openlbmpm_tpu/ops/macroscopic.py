@@ -16,7 +16,8 @@ from ..lattice import Lattice
 from .common import bcast_1d
 
 __all__ = ["density", "momentum", "velocity", "sc_common_velocity",
-           "pressure_sc"]
+           "pressure_sc", "pressure_sc_huang", "pressure_sc_shan",
+           "pressure_sc_kang"]
 
 
 def density(f: jnp.ndarray, spatial_dim: int = 2) -> jnp.ndarray:
@@ -72,3 +73,22 @@ def pressure_sc(rho_k: jnp.ndarray, g_matrix: np.ndarray) -> jnp.ndarray:
         for j in range(i + 1, k):
             p = p + 1.5 * float(g_matrix[i, j]) * rho_k[i] * rho_k[j]
     return p
+
+
+def pressure_sc_huang(rho_0, rho_1, g: float) -> jnp.ndarray:
+    """Huang & Sukop 2007 two-fluid pressure: P = rho/3 + G/3 rho_0 rho_1
+    (``AccelerateGPU2D.calMacroPressureHuang1D:100-110``)."""
+    return (rho_0 + rho_1) / 3.0 + (g / 3.0) * rho_0 * rho_1
+
+
+def pressure_sc_shan(rho_0, rho_1, g: float) -> jnp.ndarray:
+    """Shan & Doolen 1995 pressure: P = rho/3 + (3/2)(1/3) G rho_0 rho_1
+    (``calMacroPressureShan1D:117-127``)."""
+    return (rho_0 + rho_1) / 3.0 + 0.5 * g * rho_0 * rho_1
+
+
+def pressure_sc_kang(rho_0, rho_1, g: float) -> jnp.ndarray:
+    """Kang et al. 2002 pressure (G is 9x Shan's normalization;
+    ``calMacroPressureKang1D:135-149``).  Same closed form as Shan's in the
+    reference snapshot — kept as a distinct entry point for config parity."""
+    return (rho_0 + rho_1) / 3.0 + 0.5 * g * rho_0 * rho_1

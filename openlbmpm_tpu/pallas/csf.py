@@ -2,10 +2,10 @@
 
 One VMEM-resident pass computes, per y-strip of the domain:
 
-    rho/phi -> solid-phi extrapolation -> isotropic gradient -> contact-angle
-    rotation -> curvature + CSF force -> u/tau/feq/Guo source -> (SRT | MRT)
-    collision on the total PDF -> LKR recoloring -> pull-streaming with
-    half-way bounce-back
+    [boundary-condition rows] -> rho/phi -> solid-phi extrapolation ->
+    isotropic gradient -> contact-angle rotation -> curvature + CSF force ->
+    u/tau/feq/Guo source -> (SRT | MRT) collision on the total PDF ->
+    LKR recoloring -> pull-streaming with half-way bounce-back
 
 replacing ~10 HBM passes of the jnp path (the TPU equivalent of the
 reference's fused ``interactionCollisionProcess`` insight,
@@ -17,17 +17,22 @@ Strip-mining scheme
 The grid iterates over strips of ``R`` rows spanning the full width.  The
 x-direction stencils use ``pltpu.roll`` over the lane axis — since a strip
 covers all of x, lane rolls give exact global periodicity.  The y-direction
-needs a halo of H = 4 rows on each side (stream <- post-collision(+-1) <-
-force(+-1) <- gradient(+-2) <- phi_ext(+-3) <- phi/f(+-4)); halos are fetched
-as two extra *blocked* inputs whose index_map picks the H-row slabs of the
-neighboring strips with modular wrap, so edge strips see periodic neighbors.
-Inside the kernel every field is computed over the full (R + 2H)-row window;
-ring contamination from the window edges never reaches the R center rows
-(each stencil application invalidates exactly one ring).
+needs a halo of 4 rows per sub-step on each side (stream <-
+post-collision(+-1) <- force(+-1) <- gradient(+-2) <- phi_ext(+-3) <-
+phi/f(+-4)); halos are fetched as two extra *blocked* inputs whose index_map
+picks H-row slabs of the neighboring strips with modular wrap, so edge
+strips see periodic neighbors.  Ring contamination from the window edges
+never reaches the R center rows.
 
-Boundary-condition rows (Zou-He / convective / ghost layers) are applied
-outside the kernel by the model, exactly as the reference interleaves them
-around the collision kernels.
+Temporal blocking
+-----------------
+The kernel is DMA-bound (a copy-only kernel with the same block specs costs
+~90% of the full kernel), so ``steps_per_call`` advances T sub-steps per
+launch inside VMEM: HBM traffic per time step drops by T at the price of
+extra (free) compute and a halo of 4T rows.  Boundary-condition rows are
+then applied *inside* the kernel before every sub-step, selected by
+global-row masks ((strip_row + r) mod ny == bc_row) so every window that
+sees a BC row — including wrapped halo slabs — rewrites it identically.
 """
 
 from __future__ import annotations
@@ -42,25 +47,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import Geometry, solid_normals, wetting_masks
-from ..lattice import D2Q9
+from ..lattice import D2Q9 as D2Q9_LAT
 
 __all__ = ["build_csf_fused_step", "pick_rows_per_block"]
 
-# y-halo rows on each side.  The physics needs 4 (stream <- force(+-1) <-
-# gradient(+-2) <- phi_ext(+-3) <- phi/f(+-4)); 8 satisfies the Mosaic tile
-# constraint that block sublane dims be divisible by 8.
-H = 8
 _EPS = 1.0e-8
 
 
-def pick_rows_per_block(ny: int, nx: int, target_vmem_mb: float = 48.0) -> int:
-    """Largest R dividing ny, multiple of H, that keeps the window budget
-    under `target_vmem_mb` (rough model: ~60 f32 planes of (R+2H, nx))."""
+def _halo_rows(steps_per_call: int) -> int:
+    """4 rings per sub-step, rounded up to the Mosaic sublane multiple."""
+    need = 4 * steps_per_call
+    return ((need + 7) // 8) * 8
+
+
+def pick_rows_per_block(ny: int, nx: int, steps_per_call: int = 1,
+                        target_vmem_mb: float = 48.0) -> int:
+    """Largest R dividing ny, multiple of H, under the VMEM budget (rough
+    model: ~60 f32 planes of (R + 2H, nx))."""
+    h = _halo_rows(steps_per_call)
     best = 0
-    for r in range(H, ny + 1, H):
+    for r in range(h, ny + 1, h):
         if ny % r:
             continue
-        mb = 60 * (r + 2 * H) * nx * 4 / 2**20
+        mb = 60 * (r + 2 * h) * nx * 4 / 2**20
         if mb <= target_vmem_mb:
             best = r
     return best
@@ -77,7 +86,7 @@ def _rolly(a, dy: int, w: int):
     """Value at row r of a(r + dy) within the strip window (row axis).
 
     Wrap garbage only touches the outermost |dy| rows of the window, which
-    are never consumed by the center rows.
+    the center rows never consume.
     """
     if dy == 0:
         return a
@@ -88,39 +97,66 @@ def _sh(a, dx: int, dy: int, nx: int, w: int):
     return _rollx(_rolly(a, dy, w), dx, nx)
 
 
+# D2Q9 constants, reference ordering (lattice.py): 0 rest, 1 E, 2 N, 3 W,
+# 4 S, 5 NE, 6 NW, 7 SW, 8 SE.
+_E = np.array([(0, 0), (1, 0), (0, 1), (-1, 0), (0, -1),
+               (1, 1), (-1, 1), (-1, -1), (1, -1)])
+_W = np.array([4 / 9] + [1 / 9] * 4 + [1 / 36] * 4)
+_OPP = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6])
+
+
 def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          rows_per_block: int | None = None,
+                         steps_per_call: int = 1,
+                         bc_config=None,
                          interpret: bool = False):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``.
 
-    `params` is a ``ColorGradientParams`` (variant must be "CSF").  Returns
-    None when the domain does not strip-decompose (ny not divisible by a
-    usable R).
+    `params` is a ``ColorGradientParams`` (variant must be "CSF").  With
+    ``steps_per_call`` = T > 1 the returned function advances T time steps
+    per call; `bc_config` (a ``CGBoundaryConfig``) must then be given unless
+    the domain is fully periodic, because BC rows are applied in-kernel
+    between sub-steps.  Returns None when the domain does not
+    strip-decompose.
     """
     ny, nx = geometry.shape
+    T = int(steps_per_call)
+    H = _halo_rows(T)
     if rows_per_block is None:
-        rows_per_block = pick_rows_per_block(ny, nx)
+        rows_per_block = pick_rows_per_block(ny, nx, T)
     R = rows_per_block
     if not R or ny % R or R % H:
         return None
     W = R + 2 * H
     nb = ny // R
-    hb = ny // H  # halo-slab count (H always divides ny when R does)
+    hb = ny // H
 
-    lat = D2Q9
-    e = lat.e
-    w_lat = lat.w
-    opp = lat.opp
+    inlet_kind = getattr(bc_config, "inlet", "periodic")
+    outlet_kind = getattr(bc_config, "outlet", "periodic")
+    if inlet_kind not in ("periodic", "neumann", "dirichlet") or \
+            outlet_kind not in ("periodic", "convective", "dirichlet"):
+        return None  # BC combination not supported in-kernel
+    if T > 1 and bc_config is None and not (
+            inlet_kind == "periodic" and outlet_kind == "periodic"):
+        raise ValueError("steps_per_call > 1 requires bc_config")
+    inlet_velocity = float(getattr(bc_config, "inlet_velocity", 0.0))
+    inlet_rho_r = float(getattr(bc_config, "inlet_density_r", 1.0))
+    inlet_rho_b = float(getattr(bc_config, "inlet_density_b", 0.0))
+    outlet_rho = float(getattr(bc_config, "outlet_density_r", 0.0)) + \
+        float(getattr(bc_config, "outlet_density_b", 1.0))
 
-    # geometry channel stack: is_fluid, wet_fluid, nsx, nsy
-    wet_fluid, _ = wetting_masks(geometry.is_solid)
+    # geometry channel stack: is_fluid, wet_fluid, nsx, nsy.  (Precomputing
+    # more statics — stencil denominators, upwind-solid masks — was measured
+    # slower: the extra geo DMA outweighs the saved in-kernel rolls.)
+    wet_fluid, wet_solid = wetting_masks(geometry.is_solid)
     nsx, nsy = solid_normals(geometry.is_solid)
-    has_wetting = bool(wet_fluid.any())
+    has_wetting = bool(wet_solid.any())
     geo_np = np.stack([
         geometry.is_fluid.astype(np.float64),
         wet_fluid.astype(np.float64),
         nsx, nsy,
     ])
+    n_geo = geo_np.shape[0]
     geo_dev = jnp.asarray(geo_np, dtype)
 
     theta = math.radians(params.contact_angle_deg)
@@ -135,28 +171,110 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_mrt = params.collision == "MRT"
     # RK MRT base vector with the shear rows zeroed; they get 1/tau(x)
     s_base = np.array([0.0, 1.64, 1.54, 0.0, 1.9, 0.0, 1.9, 0.0, 0.0])
-    M = lat.M
-    M_inv = lat.M_inv
+    M = D2Q9_LAT.M
+    M_inv = D2Q9_LAT.M_inv
+    e, w_lat, opp = _E, _W, _OPP
 
-    def kernel(fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d,
-               out_r, out_b):
-        f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
-        f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
-        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
-        fl = geo[0]
-        wet = geo[1]
-        ns_x = geo[2]
-        ns_y = geo[3]
+    sh = functools.partial(_sh, nx=nx, w=W)
 
-        sh = functools.partial(_sh, nx=nx, w=W)
+    # -- in-window boundary-condition rows ---------------------------------
+    def _row_mask(rows_g, k):
+        return rows_g == k
 
-        rho_r = jnp.sum(f_r, axis=0)
-        rho_b = jnp.sum(f_b, axis=0)
+    def _apply_bcs_window(f_r, f_b, fl, rows_g):
+        """Rewrite the inlet/outlet rows wherever they appear in the window
+        (mirrors ``ColorGradientRK._apply_inlet/_apply_outlet``)."""
+        flb = fl > 0.5
+
+        def set_rows(f, i, k, vals):
+            m = jnp.logical_and(_row_mask(rows_g, k), flb)
+            return [vals if j == i else f[j] for j in range(9)], m
+
+        fr = [f_r[i] for i in range(9)]
+        fb = [f_b[i] for i in range(9)]
+
+        if inlet_kind == "neumann":
+            # total-momentum velocity inlet on row ny-2 + ghost copy ny-1
+            vy = inlet_velocity
+            ft = [fr[i] + fb[i] for i in range(9)]
+            rho = (ft[0] + ft[1] + ft[3] +
+                   2.0 * (ft[2] + ft[5] + ft[6])) / (1.0 + vy)
+
+            def feq_row(i):
+                ey = float(e[i, 1])
+                eu = ey * vy
+                return rho * float(w_lat[i]) * \
+                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * vy * vy)
+            new4 = feq_row(4) + (ft[2] - feq_row(2))
+            new7 = feq_row(7) + (ft[5] - feq_row(5))
+            new8 = feq_row(8) + (ft[6] - feq_row(6))
+            rho_r = sum(fr)
+            rho_b = sum(fb)
+            tot = rho_r + rho_b
+            tot_s = jnp.where(tot != 0, tot, 1.0)
+            ratio_r = rho_r / tot_s
+            m = jnp.logical_and(_row_mask(rows_g, ny - 2), flb)
+            for i, val in ((4, new4), (7, new7), (8, new8)):
+                fr[i] = jnp.where(m, ratio_r * val, fr[i])
+                fb[i] = jnp.where(m, (1.0 - ratio_r) * val, fb[i])
+        elif inlet_kind == "dirichlet":
+            for fc, rho_t in ((fr, inlet_rho_r), (fb, inlet_rho_b)):
+                rt = rho_t if rho_t != 0 else 1.0
+                vy = -1.0 + (fc[0] + fc[1] + fc[3] +
+                             2.0 * (fc[2] + fc[5] + fc[6])) / rt
+                d13 = 0.5 * (fc[1] - fc[3])
+                rv = rt * vy
+                m = jnp.logical_and(_row_mask(rows_g, ny - 2), flb)
+                fc[4] = jnp.where(m, fc[2] - (2.0 / 3.0) * rv, fc[4])
+                fc[7] = jnp.where(m, fc[5] + d13 - rv / 6.0, fc[7])
+                fc[8] = jnp.where(m, fc[6] - d13 - rv / 6.0, fc[8])
+        if inlet_kind in ("neumann", "dirichlet"):
+            # ghost row ny-1 copies ny-2 (value at r of roll(-1) is f[r-1])
+            m = jnp.logical_and(_row_mask(rows_g, ny - 1), flb)
+            for i in range(9):
+                fr[i] = jnp.where(m, _rolly(fr[i], -1, W), fr[i])
+                fb[i] = jnp.where(m, _rolly(fb[i], -1, W), fb[i])
+
+        if outlet_kind == "convective":
+            for k in (2, 1, 0):
+                m = jnp.logical_and(_row_mask(rows_g, k), flb)
+                for i in range(9):
+                    fr[i] = jnp.where(m, _rolly(fr[i], 1, W), fr[i])
+                    fb[i] = jnp.where(m, _rolly(fb[i], 1, W), fb[i])
+        elif outlet_kind == "dirichlet":
+            # total-PDF pressure outlet on row 1 + ghost copy row 0
+            ft = [fr[i] + fb[i] for i in range(9)]
+            vy = 1.0 - (ft[0] + ft[1] + ft[3] +
+                        2.0 * (ft[4] + ft[7] + ft[8])) / outlet_rho
+            d31 = 0.5 * (ft[3] - ft[1])
+            rv = outlet_rho * vy
+            new2 = ft[4] + (2.0 / 3.0) * rv
+            new5 = ft[7] + d31 + rv / 6.0
+            new6 = ft[8] - d31 + rv / 6.0
+            rho_r = sum(fr)
+            rho_b = sum(fb)
+            tot = rho_r + rho_b
+            tot_s = jnp.where(tot != 0, tot, 1.0)
+            ratio_r = rho_r / tot_s
+            m = jnp.logical_and(_row_mask(rows_g, 1), flb)
+            for i, val in ((2, new2), (5, new5), (6, new6)):
+                fr[i] = jnp.where(m, ratio_r * val, fr[i])
+                fb[i] = jnp.where(m, (1.0 - ratio_r) * val, fb[i])
+            m = jnp.logical_and(_row_mask(rows_g, 0), flb)
+            for i in range(9):
+                fr[i] = jnp.where(m, _rolly(fr[i], 1, W), fr[i])
+                fb[i] = jnp.where(m, _rolly(fb[i], 1, W), fb[i])
+        return fr, fb
+
+    # -- one physics sub-step on the full window ---------------------------
+    def _substep(fr, fb, fl, wet, ns_x, ns_y):
+        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists."""
+        rho_r = sum(fr)
+        rho_b = sum(fb)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
 
-        # --- solid-phi extrapolation (w-weighted fluid-neighbor average) ---
         if has_wetting:
             num = jnp.zeros_like(phi)
             den = jnp.zeros_like(phi)
@@ -166,13 +284,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fl_n = sh(fl, dx, dy)
                 num = num + wi * fl_n * sh(phi, dx, dy)
                 den = den + wi * fl_n
-            phi_solid = jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0),
-                                  0.0)
+            phi_solid = jnp.where(den > 0,
+                                  num / jnp.where(den > 0, den, 1.0), 0.0)
             phi_ext = jnp.where(fl > 0.5, phi, phi_solid)
         else:
             phi_ext = phi
 
-        # --- isotropic color gradient ---
         gx = jnp.zeros_like(phi)
         gy = jnp.zeros_like(phi)
         for i in range(1, 9):
@@ -186,7 +303,6 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         gx = 3.0 * gx
         gy = 3.0 * gy
 
-        # --- contact-angle enforcement on wetting fluid nodes ---
         if has_wetting:
             norm = jnp.sqrt(gx * gx + gy * gy)
             safe = norm > _EPS
@@ -195,8 +311,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 ux_ = jnp.where(safe, -gx / norm_s, 0.0)
                 uy_ = jnp.where(safe, -gy / norm_s, 0.0)
                 dot = jnp.clip(ux_ * ns_x + uy_ * ns_y, -1.0, 1.0)
-                # cos(theta_gs) = dot, sin(theta_gs) = sqrt(1 - dot^2):
-                # no arccos needed (and acos does not lower on TPU).
+                # cos(theta_gs) = dot, sin = sqrt(1 - dot^2): no arccos
+                # (acos does not lower on TPU).
                 sin_gs = jnp.sqrt(jnp.maximum(1.0 - dot * dot, 0.0))
                 ok = sin_gs > 1.0e-9
                 sin_ok = jnp.where(ok, sin_gs, 1.0)
@@ -223,15 +339,17 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 n2y = ns_y * cos_t - ns_x * sin_t
                 d1 = jnp.sqrt((ux_ - n1x) ** 2 + (uy_ - n1y) ** 2)
                 d2 = jnp.sqrt((ux_ - n2x) ** 2 + (uy_ - n2y) ** 2)
-                mx_ = jnp.where(d1 < d2, n1x, jnp.where(d1 > d2, n2x, ns_x))
-                my_ = jnp.where(d1 < d2, n1y, jnp.where(d1 > d2, n2y, ns_y))
+                mx_ = jnp.where(d1 < d2, n1x,
+                                jnp.where(d1 > d2, n2x, ns_x))
+                my_ = jnp.where(d1 < d2, n1y,
+                                jnp.where(d1 > d2, n2y, ns_y))
                 gx_new = norm * mx_
                 gy_new = norm * my_
             wetm = wet > 0.5
             gx = jnp.where(wetm, gx_new, gx)
             gy = jnp.where(wetm, gy_new, gy)
 
-        # --- curvature + CSF force ---
+        # curvature + CSF force
         norm = jnp.sqrt(gx * gx + gy * gy)
         safe = norm > (_EPS if inward else 0.0)
         norm_s = jnp.where(safe, norm, 1.0)
@@ -262,16 +380,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         fx = fx * fl
         fy = fy * fl
 
-        # --- macroscopic velocity and tau(phi) ---
-        f_tot = f_r + f_b
+        # macroscopic velocity and tau(phi)
         mx = jnp.zeros_like(rho)
         my = jnp.zeros_like(rho)
         for i in range(1, 9):
             exi, eyi = float(e[i, 0]), float(e[i, 1])
+            fti = fr[i] + fb[i]
             if exi:
-                mx = mx + exi * f_tot[i]
+                mx = mx + exi * fti
             if eyi:
-                my = my + eyi * f_tot[i]
+                my = my + eyi * fti
         ux = (mx + 0.5 * fx) / rho_safe
         uy = (my + 0.5 * fy) / rho_safe
 
@@ -279,23 +397,22 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             tau_mid = 0.5 + 1.0 / ((1.0 + phi) / (2.0 * (tau_r - 0.5)) +
                                    (1.0 - phi) / (2.0 * (tau_b - 0.5)))
         else:
-            ratio_r = rho_r / rho_safe
-            ratio_b = rho_b / rho_safe
-            mu = 1.0 / (ratio_r * (3.0 / (tau_r - 0.5)) +
-                        ratio_b * (3.0 / (tau_b - 0.5)))
+            ratio_r_ = rho_r / rho_safe
+            ratio_b_ = rho_b / rho_safe
+            mu = 1.0 / (ratio_r_ * (3.0 / (tau_r - 0.5)) +
+                        ratio_b_ * (3.0 / (tau_b - 0.5)))
             tau_mid = 3.0 * mu + 0.5
         tau = jnp.where(phi > delta, tau_r,
                         jnp.where(phi < -delta, tau_b, tau_mid))
         inv_tau = 1.0 / tau
 
-        # --- collision on the total PDF + Guo source ---
-        # feq is linear in rho, so feq_tot = feq(rho_r + rho_b, u).
+        # collision on the total PDF + Guo source (feq linear in rho)
         uu = ux * ux + uy * uy
         post = [None] * 9
         if is_mrt:
-            # Shared moment transform: f' = f + src - M^-1 S M g with
-            # g = (f - feq) + src/2 (collision and the (I - S/2) force
-            # correction use the same S).
+            # f' = f + src - M^-1 S M g with g = (f - feq) + src/2: the
+            # collision and the (I - S/2) force correction share S, so one
+            # moment-transform pair serves both.
             gmats = []
             for i in range(9):
                 eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
@@ -306,9 +423,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     3.0 * (float(e[i, 1]) - uy) * fy +
                     9.0 * float(e[i, 0]) * eu * fx +
                     9.0 * float(e[i, 1]) * eu * fy)
-                gmats.append(f_tot[i] - feq_i + 0.5 * src_i)
-                post[i] = f_tot[i] + src_i
-            # m = M g ; sm = S m (s7, s8 <- 1/tau) ; f' -= M_inv sm
+                fti = fr[i] + fb[i]
+                gmats.append(fti - feq_i + 0.5 * src_i)
+                post[i] = fti + src_i
             moments = []
             for a in range(9):
                 acc = None
@@ -346,10 +463,10 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     3.0 * (float(e[i, 1]) - uy) * fy +
                     9.0 * float(e[i, 0]) * eu * fx +
                     9.0 * float(e[i, 1]) * eu * fy)
-                post[i] = f_tot[i] - (f_tot[i] - feq_i) * inv_tau \
-                    + pref * src_i
+                fti = fr[i] + fb[i]
+                post[i] = fti - (fti - feq_i) * inv_tau + pref * src_i
 
-        # --- LKR recoloring ---
+        # LKR recoloring (f_b' = post - f_r')
         gnorm = jnp.sqrt(gx * gx + gy * gy)
         gsafe = gnorm > _EPS
         gnorm_s = jnp.where(gsafe, gnorm, 1.0)
@@ -365,35 +482,58 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 cos_enorm = jnp.where(gsafe, eg / gnorm_s, 0.0)
                 seg = seg_base * float(w_lat[i]) * cos_enorm
             fr_post[i] = frac_r * post[i] + seg
-            fb_post[i] = (1.0 - frac_r) * post[i] - seg
+            fb_post[i] = post[i] - fr_post[i]
 
-        # --- pull-streaming with half-way bounce-back, masked to pores ---
-        fl_c = fl[H:H + R]
-        for i in range(9):
-            if i == 0:
-                out_r[0] = fr_post[0][H:H + R] * fl_c
-                out_b[0] = fb_post[0][H:H + R] * fl_c
-                continue
+        # pull-streaming with half-way bounce-back on the full window
+        out_r = [None] * 9
+        out_b = [None] * 9
+        out_r[0] = fr_post[0] * fl
+        out_b[0] = fb_post[0] * fl
+        for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            # upwind source x - e_i solid?
-            up_solid = sh(1.0 - fl, -dx, -dy)[H:H + R] > 0.5
-            pulled_r = sh(fr_post[i], -dx, -dy)[H:H + R]
-            pulled_b = sh(fb_post[i], -dx, -dy)[H:H + R]
-            out_r[i] = jnp.where(up_solid, fr_post[io][H:H + R],
-                                 pulled_r) * fl_c
-            out_b[i] = jnp.where(up_solid, fb_post[io][H:H + R],
-                                 pulled_b) * fl_c
+            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+            out_r[i] = jnp.where(up_solid, fr_post[io],
+                                 sh(fr_post[i], -dx, -dy)) * fl
+            out_b[i] = jnp.where(up_solid, fb_post[io],
+                                 sh(fb_post[i], -dx, -dy)) * fl
+        return out_r, out_b
+
+    has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
+
+    def kernel(fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d,
+               out_r, out_b):
+        f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
+        f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
+        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        fl = geo[0]
+        wet = geo[1]
+        ns_x = geo[2]
+        ns_y = geo[3]
+
+        fr = [f_r[i] for i in range(9)]
+        fb = [f_b[i] for i in range(9)]
+        if T > 1 or has_bcs:
+            i0 = pl.program_id(0)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
+            rows_g = (i0 * R - H + r_iota) % ny
+        for _ in range(T):
+            if has_bcs:
+                fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
+            fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
+        for i in range(9):
+            out_r[i] = fr[i][H:H + R]
+            out_b[i] = fb[i][H:H + R]
 
     center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
     halo_up = pl.BlockSpec((9, H, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
     halo_dn = pl.BlockSpec((9, H, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0))
-    gcenter = pl.BlockSpec((4, R, nx), lambda i: (0, i, 0))
-    ghalo_up = pl.BlockSpec((4, H, nx),
+    gcenter = pl.BlockSpec((n_geo, R, nx), lambda i: (0, i, 0))
+    ghalo_up = pl.BlockSpec((n_geo, H, nx),
                             lambda i: (0, (i * (R // H) - 1) % hb, 0))
-    ghalo_dn = pl.BlockSpec((4, H, nx),
+    ghalo_dn = pl.BlockSpec((n_geo, H, nx),
                             lambda i: (0, (i * (R // H) + R // H) % hb, 0))
 
     call = pl.pallas_call(
@@ -407,7 +547,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_shape=(jax.ShapeDtypeStruct((9, ny, nx), dtype),
                    jax.ShapeDtypeStruct((9, ny, nx), dtype)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
 

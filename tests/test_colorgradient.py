@@ -108,3 +108,21 @@ def test_static_contact_angle_neutral_wetting():
     cos_theta = (r_cap - height) / r_cap
     theta = np.degrees(np.arccos(np.clip(cos_theta, -1, 1)))
     assert 75.0 < theta < 105.0, theta
+
+
+def test_modified_periodic_color_swap_outlet():
+    """modified_periodic outlet: the invading red front re-enters the
+    domain as blue at the seam — total mass conserved, colors swap."""
+    n = 32
+    params = ColorGradientParams(variant="CSF", collision="SRT",
+                                 surface_tension=0.0)
+    bcs = CGBoundaryConfig(inlet="periodic", outlet="modified_periodic")
+    model = ColorGradientRK(geo.from_solid_mask(np.zeros((n, n), bool)),
+                            params, bcs, dtype=jnp.float64)
+    assert model._fused is None  # jnp path required for the seam swap
+    state = model.init_state_layers(1.0, 1.0, invading_rows=6,
+                                    background=0.0)
+    m_tot0 = float(jnp.sum(state[0]) + jnp.sum(state[1]))
+    state = run_chunked(model.step, state, num_steps=50, io_interval=50)
+    m_tot = float(jnp.sum(state[0]) + jnp.sum(state[1]))
+    assert abs(m_tot - m_tot0) / m_tot0 < 1e-12

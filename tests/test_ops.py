@@ -153,3 +153,27 @@ def test_sc_common_velocity_single_fluid():
                                atol=1e-14)
     np.testing.assert_allclose(np.asarray(upy), np.asarray(uy), rtol=1e-10,
                                atol=1e-14)
+
+
+def test_pressure_definitions():
+    """Three SC pressure definitions (Huang/Shan/Kang,
+    ``AccelerateGPU2D.py:100-149``)."""
+    import jax.numpy as jnp
+    from openlbmpm_tpu.ops import macroscopic as mac
+    r0 = jnp.asarray([[1.0]])
+    r1 = jnp.asarray([[0.5]])
+    g = 3.0
+    assert abs(float(mac.pressure_sc_huang(r0, r1, g)[0, 0]) -
+               (1.5 / 3.0 + (g / 3.0) * 1.0 * 0.5)) < 1e-12
+    assert abs(float(mac.pressure_sc_shan(r0, r1, g)[0, 0]) -
+               (1.5 / 3.0 + 0.5 * g * 1.0 * 0.5)) < 1e-12
+    assert float(mac.pressure_sc_kang(r0, r1, g)[0, 0]) == \
+        float(mac.pressure_sc_shan(r0, r1, g)[0, 0])
+
+
+def test_analytic_sc_contact_angle():
+    from openlbmpm_tpu.metrics import analytic_sc_contact_angle
+    # symmetric adhesion => 90 degrees
+    assert abs(analytic_sc_contact_angle(0.0, 0.0, 3.8, 1.0, 0.02) - 90) < 1e-9
+    # g_s1 > g_s0 => cos > 0 => angle < 90 (fluid 0 wets)
+    assert analytic_sc_contact_angle(-0.4, 0.4, 3.8, 1.0, 0.02) < 90

@@ -67,6 +67,34 @@ def test_pick_rows_per_block():
     assert pick_rows_per_block(24, 24) in (0, 8, 24)
 
 
+@pytest.mark.parametrize("t_block", [2, 4])
+def test_temporal_blocking_matches_sequential(t_block):
+    """make_block_step(T) with in-kernel BC rows == T sequential jnp steps
+    (flagship neumann-inlet / dirichlet-outlet config)."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.01,
+        tau_r=1.0, tau_b=0.8, tau_type=2, wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float32, use_pallas=False)
+    blk = m.make_block_step(steps_per_call=t_block,
+                            rows_per_block=8 if t_block <= 2 else 16,
+                            interpret=True)
+    a, b = m.init_state_layers(1.0, 1.0, invading_rows=8)
+    c, d = a, b
+    for _ in range(4):
+        a, b = m._step_impl(a, b)
+    for _ in range(4 // t_block):
+        c, d = blk(c, d)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+    assert float(jnp.max(jnp.abs(b - d))) < 5e-6
+
+
 def test_model_interpret_integration():
     """use_pallas='interpret' routes the model step through the kernel."""
     m_ref = _model(True, "MRT")

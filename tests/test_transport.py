@@ -169,3 +169,24 @@ def test_inamuro_inlet_sets_concentration():
     np.testing.assert_allclose(conc[n - 1, 1:-1], 1.0, atol=1e-8)
     # tracer has diffused into the domain from the inlet
     assert conc[n - 6, n // 2] > 0.01
+
+
+def test_d2q5_mrt_quadratic_equilibrium():
+    """Quadratic MRT equilibrium option reproduces isotropic diffusion."""
+    n = 64
+    g_dom, fp = _still_blue_domain(n)
+    tp = TransportParams(num_tracers=1, scheme=5, relaxation="MRT",
+                         mrt_equilibrium="quadratic",
+                         diff_x=(0.1,), diff_y=(0.1,), diff_xy=(0.0,),
+                         diff_yx=(0.0,), interface_mode="none")
+    model = TransportRK(g_dom, fp, tp, standalone=True, dtype=jnp.float64)
+    flow_state = model.flow.init_state_layers(0.0, 1.0, invading_rows=0)
+    conc0 = _gaussian(n)[None]
+    state = model.init_state(flow_state, conc0)
+    vx0, vy0 = _second_moments(np.asarray(model.concentration(state.g)))
+    steps = 150
+    state = run_chunked(model.step, state, num_steps=steps, io_interval=steps)
+    conc = np.asarray(model.concentration(state.g))
+    vx1, _ = _second_moments(conc)
+    d_meas = (vx1 - vx0) / (2 * steps)
+    assert abs(d_meas - 0.1) / 0.1 < 0.05, d_meas
