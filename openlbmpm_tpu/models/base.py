@@ -52,12 +52,17 @@ def run_chunked(
     callback: Callable[[int, Any], bool | None] | None = None,
     metrics: RunMetrics | None = None,
     donate: bool = True,
+    profile_dir: str | None = None,
 ):
     """Advance `state` by `num_steps`, syncing to host every `io_interval`.
 
     callback(step, state) is invoked at the I/O cadence with the *device*
     state; returning True stops the run early (steady-state / breakthrough
-    criteria).  Returns the final state.
+    criteria).  With `profile_dir`, the second chunk (first post-compile)
+    is captured with ``jax.profiler`` and each chunk carries a
+    ``StepTraceAnnotation`` — the observability the reference starts but
+    never reports (``ShanChenD2Q9.py:1080,1493``, SURVEY.md section 5).
+    Returns the final state.
     """
     io_interval = max(1, min(io_interval, num_steps)) if num_steps else 1
 
@@ -73,15 +78,25 @@ def run_chunked(
     run_chunk = jax.jit(run_chunk, **jit_kwargs)
 
     done = 0
+    chunk_idx = 0
+    profiling = False
     if callback is not None and callback(0, state):
         return state
     while done < num_steps:
         n = min(io_interval, num_steps - done)
+        if profile_dir is not None and chunk_idx == 1 and not profiling:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         t0 = time.perf_counter()
-        state = run_chunk(state, n)
-        jax.block_until_ready(state)
+        with jax.profiler.StepTraceAnnotation("lbm_chunk", step_num=done):
+            state = run_chunk(state, n)
+            jax.block_until_ready(state)
         dt = time.perf_counter() - t0
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
         done += n
+        chunk_idx += 1
         if metrics is not None:
             metrics.update(n, dt)
         if callback is not None and callback(done, state):
