@@ -179,9 +179,58 @@ def _run_transport(args):
     return 0
 
 
+def _run_colorgradient3d(args):
+    import jax.numpy as jnp
+
+    from . import geometry as geo
+    from .config import load_colorgradient3d
+    from .io import ResultWriter
+    from .metrics import MetricsLogger, flow_diagnostics
+    from .models.base import run_chunked
+    from .models.flow3d import ColorGradientRK3D
+
+    params, dom, run, extras = load_colorgradient3d(args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    solid = np.zeros((dom["nz"], dom["ny"], dom["nx"]), bool)
+    solid[:, :, 0] = solid[:, :, -1] = True
+    solid[:, 0, :] = solid[:, -1, :] = True
+    geometry = geo.from_solid_mask(solid)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = ColorGradientRK3D(geometry, params, dtype=dtype)
+    state = model.init_state_layers(extras["rho_r"], extras["rho_b"],
+                                    invading_slabs=max(8, dom["nz"] // 10))
+    writer = ResultWriter(args.output, basename="SimulationResultsRK3D")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+
+    def callback(step, s):
+        rho_r, rho_b, phi, u = model.macro(s)
+        writer.write(step, {
+            f"FluidMacro/FluidDensityRin{step}": np.asarray(rho_r),
+            f"FluidMacro/FluidDensityBin{step}": np.asarray(rho_b),
+        })
+        # front position along -z (3D drainage direction)
+        d = flow_diagnostics(rho_r.reshape(rho_r.shape[0], -1),
+                             rho_b.reshape(rho_b.shape[0], -1),
+                             u[0].reshape(u[0].shape[0], -1),
+                             u[2].reshape(u[2].shape[0], -1),
+                             geometry.is_fluid.reshape(
+                                 geometry.is_fluid.shape[0], -1))
+        logger.log(step, **d)
+        return False
+
+    run_chunked(model.step, state, num_steps=run.num_steps,
+                io_interval=run.io_interval, callback=callback)
+    logger.close()
+    return 0
+
+
 def _inspect(args):
-    from .config import (load_colorgradient, load_shanchen, load_transport)
+    from .config import (load_colorgradient, load_colorgradient3d,
+                         load_shanchen, load_transport)
     loaders = {"cg": lambda: load_colorgradient(args.config)[:2],
+               "cg3d": lambda: (load_colorgradient3d(args.config)[0],),
                "sc": lambda: load_shanchen(args.config,
                                            args.physics_config)[:2],
                "transport": lambda: (load_transport(args.config),)}
@@ -200,7 +249,7 @@ def main(argv=None) -> int:
 
     def common(sp):
         sp.add_argument("config", help="legacy-dialect INI file")
-        sp.add_argument("--model", choices=("cg", "sc", "transport"),
+        sp.add_argument("--model", choices=("cg", "cg3d", "sc", "transport"),
                         default="cg", help="model family")
         sp.add_argument("--physics-config", default=None,
                         help="secondary INI (SC physics / transport flow)")
@@ -225,7 +274,8 @@ def main(argv=None) -> int:
     if args.cmd == "inspect":
         return _inspect(args)
     os.makedirs(args.output, exist_ok=True)
-    return {"cg": _run_colorgradient, "sc": _run_shanchen,
+    return {"cg": _run_colorgradient, "cg3d": _run_colorgradient3d,
+            "sc": _run_shanchen,
             "transport": _run_transport}[args.model](args)
 
 

@@ -30,7 +30,7 @@ from .models.shanchen import SCBoundaryConfig, ShanChenParams
 from .models.transport import TransportParams
 
 __all__ = ["LegacyIni", "DomainSpec", "RunSpec", "load_colorgradient",
-           "load_shanchen", "load_transport"]
+           "load_colorgradient3d", "load_shanchen", "load_transport"]
 
 
 class LegacyIni:
@@ -239,6 +239,47 @@ def load_shanchen(main_path: str, physics_path: str | None = None):
         "duplicate": main.yesno("DuplicateDomain", "Option", default="no"),
     }
     return params, bcs, domain, run, extras
+
+
+def load_colorgradient3d(path: str):
+    """Parse an ``RKtwophasesetup3D.ini``-style file (the reference ships
+    the config but not the 3D code; keys per
+    ``/root/reference/IniFiles/RKtwophasesetup3D.ini``)."""
+    from .models.flow3d import ColorGradientParams3D
+    ini = LegacyIni(path)
+    params = ColorGradientParams3D(
+        tau_r=ini.number("FluidParameters", "TauR", default=1.0),
+        tau_b=ini.number("FluidParameters", "TauB", default=1.0),
+        surface_tension=ini.number(
+            "SurfaceTension", "SurfaceTension", "SurfaceTensionValue",
+            default=0.01),
+        contact_angle_deg=ini.number("SurfaceTension", "ContactAngle",
+                                     default=90.0),
+        beta=ini.number("RKParameters", "BetaThickness", default=0.7),
+        delta=ini.number("RKParameters", "DeltaValue", default=0.98),
+    )
+    domain3d = {
+        "nx": ini.integer("DomainSize", "xDomain", default=32),
+        "ny": ini.integer("DomainSize", "yDomain", default=32),
+        "nz": ini.integer("DomainSize", "zDomain", default=96),
+        "use_image": ini.yesno("ImageSetup", "Existance", "Exist",
+                               default="no"),
+    }
+    run = RunSpec(
+        num_steps=ini.integer("TimeSteps", "TimeSteps", default=1000),
+        io_interval=ini.integer("TimeSteps", "TimeInterval", default=500),
+        is_cycle=ini.yesno("CyclesSetup", "IsCycle", default="no"),
+        last_step=ini.integer("CyclesSetup", "LastStep", default=0),
+    )
+    extras = {
+        "rho_r": ini.number("FluidParameters", "InitialRhoR", default=1.0),
+        "rho_b": ini.number("FluidParameters", "InitialRhoB", default=1.0),
+        "velocity_z": (ini.number("BoundaryCondition", "velocityZR",
+                                  default=0.0) +
+                       ini.number("BoundaryCondition", "velocityZB",
+                                  default=0.0)),
+    }
+    return params, domain3d, run, extras
 
 
 def load_transport(path: str, num_default_tracers: int = 1):

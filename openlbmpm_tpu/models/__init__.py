@@ -2,6 +2,9 @@
 
 from .colorgradient import (CGBoundaryConfig, ColorGradientParams,  # noqa: F401
                             ColorGradientRK)
+from .flow3d import (ColorGradientParams3D, ColorGradientRK3D,  # noqa: F401
+                     ShanChenMCMP3D, ShanChenParams3D, SinglePhaseD3Q19,
+                     TransportD3Q7)
 from .shanchen import (SCBoundaryConfig, ShanChenMCMP,  # noqa: F401
                        ShanChenParams)
 from .single_phase import BoundaryConfig, SinglePhaseD2Q9  # noqa: F401

@@ -110,8 +110,15 @@ class ColorGradientRK:
         self.has_wetting = bool(wet_solid.any())
         self.nsx = jnp.asarray(nsx, dtype)
         self.nsy = jnp.asarray(nsy, dtype)
+        # `contact_angle_deg` is the contact angle of the RED (invading)
+        # phase.  The Akai rotation (wetting_type 2) constrains the angle
+        # between -grad(phi)/|grad(phi)| (the into-blue normal) and n_s,
+        # which geometrically equals 180 deg minus the red angle, so the
+        # cosine flips sign; the Xu rotation (type 1) constrains the
+        # into-red direction and uses the angle as-is.
         theta = math.radians(params.contact_angle_deg)
-        self.cos_t = math.cos(theta)
+        flip = -1.0 if params.wetting_type == 2 else 1.0
+        self.cos_t = flip * math.cos(theta)
         self.sin_t = math.sin(theta)
 
         if params.variant == "Perturbation":

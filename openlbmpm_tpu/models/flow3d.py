@@ -281,8 +281,11 @@ class ColorGradientRK3D:
         self.ns = tuple(jnp.asarray(c, dtype)
                         for c in solid_normals_nd(geometry.is_solid,
                                                   self.lat))
+        # contact_angle_deg is the red-phase angle; the Akai rotation
+        # constrains the into-blue normal (180 deg complement), so the
+        # cosine flips (see models/colorgradient.py).
         theta = math.radians(params.contact_angle_deg)
-        self.cos_t, self.sin_t = math.cos(theta), math.sin(theta)
+        self.cos_t, self.sin_t = -math.cos(theta), math.sin(theta)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
 
     def init_state_droplet(self, rho_r=1.0, rho_b=1.0, center=None,

@@ -159,8 +159,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     n_geo = geo_np.shape[0]
     geo_dev = jnp.asarray(geo_np, dtype)
 
+    # contact_angle_deg is the red-phase angle; the Akai (type-2) rotation
+    # constrains the into-blue normal = 180 deg complement -> cosine flips
+    # (see models/colorgradient.py).
     theta = math.radians(params.contact_angle_deg)
-    cos_t, sin_t = math.cos(theta), math.sin(theta)
+    flip = -1.0 if params.wetting_type == 2 else 1.0
+    cos_t, sin_t = flip * math.cos(theta), math.sin(theta)
     sigma = float(params.surface_tension)
     beta = float(params.beta)
     delta = float(params.delta)

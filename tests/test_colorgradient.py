@@ -126,3 +126,59 @@ def test_modified_periodic_color_swap_outlet():
     state = run_chunked(model.step, state, num_steps=50, io_interval=50)
     m_tot = float(jnp.sum(state[0]) + jnp.sum(state[1]))
     assert abs(m_tot - m_tot0) / m_tot0 < 1e-12
+
+
+def test_capillary_intrusion_direction():
+    """Canonical reference validation (README.md:54-63 'CapillaryRise'):
+    a wetting fluid spontaneously intrudes a narrow slot, a non-wetting one
+    does not.  Compare red mass inside the slot after the same number of
+    steps for theta = 45 vs theta = 135."""
+    ny, nx = 64, 32
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    # slot walls for y < 40: open channel of width 8 (columns 12..19)
+    solid[:40, 1:12] = True
+    solid[:40, 20:-1] = True
+    masses = {}
+    for theta in (45.0, 135.0):
+        params = ColorGradientParams(
+            variant="CSF", collision="SRT", surface_tension=0.05,
+            contact_angle_deg=theta, wetting_type=2, beta=0.7)
+        model = ColorGradientRK(geo.from_solid_mask(solid), params,
+                                CGBoundaryConfig(), dtype=jnp.float64)
+        # red reservoir fills the open region above the slot
+        state = model.init_state_layers(1.0, 1.0, invading_rows=22)
+        m0 = float(jnp.sum(jnp.sum(state[0], axis=0)[:38, 12:20]))
+        state = run_chunked(model.step, state, num_steps=3000,
+                            io_interval=1500)
+        rho_r = jnp.sum(state[0], axis=0)
+        masses[theta] = float(jnp.sum(rho_r[:38, 12:20])) - m0
+    # wetting intrudes, non-wetting at most marginally
+    assert masses[45.0] > 3.0, masses
+    assert masses[45.0] > 4.0 * max(masses[135.0], 0.1), masses
+
+
+@pytest.mark.parametrize("theta", [60.0, 120.0])
+def test_static_contact_angle_sweep(theta):
+    """Measured spherical-cap angle tracks the input theta (+-15 deg)."""
+    n = 64
+    solid = np.zeros((n, n), bool)
+    solid[:2, :] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="SRT", surface_tension=0.01,
+        contact_angle_deg=theta, wetting_type=2)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params,
+                            CGBoundaryConfig(), dtype=jnp.float64)
+    state = model.init_state_droplet(1.0, 1.0, center=(2.0, n / 2),
+                                     radius=12.0)
+    state = run_chunked(model.step, state, num_steps=4000, io_interval=2000)
+    _, _, phi, _ = model.macro(state)
+    phi = np.asarray(phi)
+    drop = phi > 0.0
+    drop[:2, :] = False
+    base = drop[2, :].sum()
+    height = drop[:, n // 2].sum()
+    r_cap = (base**2 / 4.0 + height**2) / (2.0 * height)
+    cos_theta = (r_cap - height) / r_cap
+    meas = np.degrees(np.arccos(np.clip(cos_theta, -1, 1)))
+    assert abs(meas - theta) < 15.0, (meas, theta)

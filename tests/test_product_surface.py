@@ -162,3 +162,13 @@ def test_cli_inspect(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "surface_tension" in out
+
+
+def test_load_colorgradient3d_config():
+    from openlbmpm_tpu.config import load_colorgradient3d
+    params, dom, run, extras = load_colorgradient3d(
+        os.path.join(CONFIGS, "rk_csf3d.ini"))
+    assert dom["nz"] == 96 and dom["nx"] == 32
+    assert params.surface_tension == 0.005
+    assert extras["velocity_z"] == -1.0e-4
+    assert run.num_steps == 1000
