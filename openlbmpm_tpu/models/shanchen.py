@@ -90,7 +90,7 @@ class ShanChenMCMP:
 
     def __init__(self, geometry: Geometry, params: ShanChenParams,
                  boundaries: SCBoundaryConfig = SCBoundaryConfig(),
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas: bool | str = "auto"):
         self.lat = D2Q9
         self.geo = geometry
         self.p = params
@@ -112,7 +112,35 @@ class ShanChenMCMP:
         ny = geometry.ny
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
                            for r in (0, 1, 2, 3, ny - 1, ny - 2)}
+        self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=0)
+
+    def _build_fused(self, use_pallas):
+        """Fused Pallas step (original SC / SRT / psi=rho on TPU); the jnp
+        path remains for EFS, MRT, P-R EOS, CPU, and sharded meshes."""
+        if not use_pallas:
+            return None
+        if use_pallas == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
+        from ..pallas.shanchen import build_sc_fused_step
+        return build_sc_fused_step(
+            self.geo, self.p, self.dtype, bc_config=self.bcs,
+            interpret=(use_pallas == "interpret"))
+
+    def make_block_step(self, steps_per_call: int = 4,
+                        rows_per_block: int | None = None,
+                        interpret: bool = False):
+        """Temporally-blocked fused SC step (see pallas/shanchen.py)."""
+        from ..pallas.shanchen import build_sc_fused_step
+        return build_sc_fused_step(
+            self.geo, self.p, self.dtype, rows_per_block,
+            steps_per_call=steps_per_call, bc_config=self.bcs,
+            interpret=interpret)
 
     # ------------------------------------------------------------------
     def init_state_layers(self, rho_main: tuple, rho_background: tuple,
@@ -257,6 +285,8 @@ class ShanChenMCMP:
 
     def _step_impl(self, f):
         if self.p.scheme == "SC":
+            if self._fused is not None:
+                return self._fused(f)  # BC rows applied in-kernel
             return self._step_sc(f)
         return self._step_efs(f)
 

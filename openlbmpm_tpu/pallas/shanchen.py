@@ -1,0 +1,311 @@
+"""Fused original-Shan-Chen MCMP step as a single Pallas TPU kernel.
+
+One VMEM-resident pass per y-strip computes, for K fluids:
+
+    [BC rows] -> rho_k -> common velocity u' -> psi -> interaction force
+    (nearest-neighbor stencil + static adhesion field) -> u_eq = u' + tau F
+    / rho -> BGK at u_eq -> pull-streaming with half-way bounce-back
+
+the fused form of the reference's hot SC path
+(``interactionCollisionProcess``, ``OptimizedD2Q9GPU.py:1274-1446`` +
+``calStreaming1GPU:452-533``), with the same strip/halo/temporal-blocking
+scheme as ``pallas/csf.py``.  The SC data chain touches only +-1 neighbors
+per sub-step (force stencil) plus +-1 for streaming = 2 halo rings per
+sub-step, so H = 8 supports steps_per_call up to 4.
+
+The EFS scheme (iso-8/10 stencils, transformed-PDF EDM pipeline) stays on
+the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import Geometry
+from ..lattice import D2Q9
+from .csf import _rollx, _rolly, _sh
+
+__all__ = ["build_sc_fused_step"]
+
+_E = D2Q9.e
+_W = D2Q9.w
+_OPP = D2Q9.opp
+
+
+def _halo_rows(steps_per_call: int) -> int:
+    # 2 rings per sub-step (force stencil + stream), plus 4 rows so the
+    # deepest BC source row (outlet row 2 reads row 3) stays valid through
+    # the last sub-step's post-stream outlet rewrite.
+    need = 2 * steps_per_call + 4
+    return ((need + 7) // 8) * 8
+
+
+def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
+                        rows_per_block: int | None = None,
+                        steps_per_call: int = 1,
+                        bc_config=None,
+                        interpret: bool = False):
+    """Build ``f (K, 9, ny, nx) -> f'`` for the original SC scheme (SRT,
+    psi = rho).  Returns None when unsupported (EFS scheme, MRT, P-R psi,
+    or a non-decomposing domain)."""
+    if params.scheme != "SC" or params.collision != "SRT" \
+            or params.psi != "rho":
+        return None
+    ny, nx = geometry.shape
+    K = params.num_fluids
+    T = int(steps_per_call)
+    H = _halo_rows(T)
+    if rows_per_block is None:
+        for r in (128, 64, 32, 16, 8):
+            if ny % r == 0 and r % H == 0:
+                rows_per_block = r
+                break
+        else:
+            return None
+    R = rows_per_block
+    if not R or ny % R or R % H:
+        return None
+    W = R + 2 * H
+    nb = ny // R
+    hb = ny // H
+
+    inlet_kind = getattr(bc_config, "inlet", "periodic")
+    outlet_kind = getattr(bc_config, "outlet", "periodic")
+    if inlet_kind not in ("periodic", "zou_he_velocity", "zou_he_pressure") \
+            or outlet_kind not in ("periodic", "zou_he_pressure",
+                                   "convective"):
+        return None
+    inlet_v = tuple(float(v) for v in
+                    getattr(bc_config, "inlet_velocity", (0.0,) * K))
+    inlet_rho = tuple(float(v) for v in
+                      getattr(bc_config, "inlet_density", (1.0,) * K))
+    outlet_rho = tuple(float(v) for v in
+                       getattr(bc_config, "outlet_density", (1.0,) * K))
+    has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
+    if T > 1 and has_bcs and bc_config is None:
+        raise ValueError("steps_per_call > 1 requires bc_config")
+
+    tau = tuple(float(t) for t in params.tau)
+    g_mat = np.asarray(params.g_matrix, np.float64)
+    g_sol = np.asarray(params.g_solid, np.float64)
+    bfx, bfy = (float(v) for v in params.body_force)
+
+    # static geometry channels: is_fluid, adhesion_x, adhesion_y
+    # (adhesion = sum_dir w_dir e_dir [solid at x+e], D2Q9 weights —
+    # ``OptimizedD2Q9GPU.py:209-312``)
+    solid = geometry.is_solid.astype(np.float64)
+    adx = np.zeros_like(solid)
+    ady = np.zeros_like(solid)
+    for i in range(1, 9):
+        dx, dy = int(_E[i, 0]), int(_E[i, 1])
+        s = np.roll(np.roll(solid, -dy, 0), -dx, 1)
+        adx += float(_W[i]) * dx * s
+        ady += float(_W[i]) * dy * s
+    geo_np = np.stack([geometry.is_fluid.astype(np.float64), adx, ady])
+    geo_dev = jnp.asarray(geo_np, dtype)
+
+    sh = functools.partial(_sh, nx=nx, w=W)
+
+    def _apply_inlet_window(f, fl, rows_g):
+        """f: list over K of lists over 9 planes."""
+        flb = fl > 0.5
+        if inlet_kind == "zou_he_velocity":
+            m = jnp.logical_and(rows_g == ny - 2, flb)
+            for k in range(K):
+                vy = inlet_v[k % len(inlet_v)]
+                fk = f[k]
+                rho = (fk[0] + fk[1] + fk[3] +
+                       2.0 * (fk[2] + fk[5] + fk[6])) / (1.0 + vy)
+                d13 = 0.5 * (fk[1] - fk[3])
+                fk[4] = jnp.where(m, fk[2] - (2.0 / 3.0) * rho * vy, fk[4])
+                fk[7] = jnp.where(m, fk[5] + d13 - rho * vy / 6.0, fk[7])
+                fk[8] = jnp.where(m, fk[6] - d13 - rho * vy / 6.0, fk[8])
+        elif inlet_kind == "zou_he_pressure":
+            m = jnp.logical_and(rows_g == ny - 2, flb)
+            for k in range(K):
+                rt = inlet_rho[k % len(inlet_rho)] or 1.0
+                fk = f[k]
+                vy = -1.0 + (fk[0] + fk[1] + fk[3] +
+                             2.0 * (fk[2] + fk[5] + fk[6])) / rt
+                d13 = 0.5 * (fk[1] - fk[3])
+                rv = rt * vy
+                fk[4] = jnp.where(m, fk[2] - (2.0 / 3.0) * rv, fk[4])
+                fk[7] = jnp.where(m, fk[5] + d13 - rv / 6.0, fk[7])
+                fk[8] = jnp.where(m, fk[6] - d13 - rv / 6.0, fk[8])
+        if inlet_kind != "periodic":
+            m = jnp.logical_and(rows_g == ny - 1, flb)
+            for k in range(K):
+                for i in range(9):
+                    f[k][i] = jnp.where(m, _rolly(f[k][i], -1, W), f[k][i])
+        return f
+
+    def _apply_outlet_window(f, fl, rows_g):
+        flb = fl > 0.5
+        if outlet_kind == "zou_he_pressure":
+            m = jnp.logical_and(rows_g == 1, flb)
+            for k in range(K):
+                rt = outlet_rho[k % len(outlet_rho)] or 1.0
+                fk = f[k]
+                vy = 1.0 - (fk[0] + fk[1] + fk[3] +
+                            2.0 * (fk[4] + fk[7] + fk[8])) / rt
+                d31 = 0.5 * (fk[3] - fk[1])
+                rv = rt * vy
+                fk[2] = jnp.where(m, fk[4] + (2.0 / 3.0) * rv, fk[2])
+                fk[5] = jnp.where(m, fk[7] + d31 + rv / 6.0, fk[5])
+                fk[6] = jnp.where(m, fk[8] - d31 + rv / 6.0, fk[6])
+            m = jnp.logical_and(rows_g == 0, flb)
+            for k in range(K):
+                for i in range(9):
+                    f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W), f[k][i])
+        elif outlet_kind == "convective":
+            for row in (2, 1, 0):
+                m = jnp.logical_and(rows_g == row, flb)
+                for k in range(K):
+                    for i in range(9):
+                        f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W),
+                                            f[k][i])
+        return f
+
+    def _substep(f, fl, adh_x, adh_y):
+        rho = [sum(f[k]) for k in range(K)]
+        rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
+
+        # common velocity u' = sum_k (sum_i f e / tau_k) / sum_k rho_k/tau_k
+        den = sum(rho[k] / tau[k] for k in range(K))
+        den = jnp.where(den != 0, den, 1.0)
+        numx = jnp.zeros_like(rho[0])
+        numy = jnp.zeros_like(rho[0])
+        for k in range(K):
+            mxk = jnp.zeros_like(rho[0])
+            myk = jnp.zeros_like(rho[0])
+            for i in range(1, 9):
+                exi, eyi = float(_E[i, 0]), float(_E[i, 1])
+                if exi:
+                    mxk = mxk + exi * f[k][i]
+                if eyi:
+                    myk = myk + eyi * f[k][i]
+            numx = numx + mxk / tau[k]
+            numy = numy + myk / tau[k]
+        upx = numx / den
+        upy = numy / den
+
+        # interaction force: psi = rho (zero on solid via the masks)
+        vx = [jnp.zeros_like(rho[0]) for _ in range(K)]
+        vy = [jnp.zeros_like(rho[0]) for _ in range(K)]
+        for i in range(1, 9):
+            dx, dy = int(_E[i, 0]), int(_E[i, 1])
+            wi = float(_W[i])
+            for k in range(K):
+                s = sh(rho[k], dx, dy)
+                if dx:
+                    vx[k] = vx[k] + (wi * dx) * s
+                if dy:
+                    vy[k] = vy[k] + (wi * dy) * s
+        fx = [None] * K
+        fy = [None] * K
+        for k in range(K):
+            gvx = sum(float(g_mat[k, j]) * vx[j] for j in range(K)
+                      if g_mat[k, j])
+            gvy = sum(float(g_mat[k, j]) * vy[j] for j in range(K)
+                      if g_mat[k, j])
+            gvx = gvx if not isinstance(gvx, int) else jnp.zeros_like(rho[0])
+            gvy = gvy if not isinstance(gvy, int) else jnp.zeros_like(rho[0])
+            fx[k] = -rho[k] * (gvx + float(g_sol[k]) * adh_x)
+            fy[k] = -rho[k] * (gvy + float(g_sol[k]) * adh_y)
+            if bfx:
+                fx[k] = fx[k] + bfx * rho[k]
+            if bfy:
+                fy[k] = fy[k] + bfy * rho[k]
+
+        # per-fluid u_eq, feq, BGK, stream
+        out = [[None] * 9 for _ in range(K)]
+        for k in range(K):
+            ux = upx + tau[k] * fx[k] / rho_safe[k]
+            uy = upy + tau[k] * fy[k] / rho_safe[k]
+            uu = ux * ux + uy * uy
+            inv_t = 1.0 / tau[k]
+            post = [None] * 9
+            for i in range(9):
+                eu = float(_E[i, 0]) * ux + float(_E[i, 1]) * uy
+                feq_i = float(_W[i]) * rho[k] * \
+                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+                post[i] = f[k][i] - (f[k][i] - feq_i) * inv_t
+            out[k][0] = post[0] * fl
+            for i in range(1, 9):
+                dx, dy = int(_E[i, 0]), int(_E[i, 1])
+                io = int(_OPP[i])
+                up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+                out[k][i] = jnp.where(up_solid, post[io],
+                                      sh(post[i], -dx, -dy)) * fl
+        return out
+
+    def kernel(*refs):
+        # refs: K fields x (c, u, d) + geo (c, u, d) + K outputs
+        f_refs = refs[:3 * K]
+        g_c, g_u, g_d = refs[3 * K:3 * K + 3]
+        out_refs = refs[3 * K + 3:]
+        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        fl = geo[0]
+        adh_x = geo[1]
+        adh_y = geo[2]
+        f = []
+        for k in range(K):
+            c, u, d = f_refs[3 * k:3 * k + 3]
+            win = jnp.concatenate([u[:], c[:], d[:]], axis=1)
+            f.append([win[i] for i in range(9)])
+        if T > 1 or has_bcs:
+            i0 = pl.program_id(0)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
+            rows_g = (i0 * R - H + r_iota) % ny
+        # Op order matches the jnp path (``_step_sc``): inlet BC -> physics
+        # -> outlet BC per time step.
+        for _ in range(T):
+            if has_bcs:
+                f = _apply_inlet_window(f, fl, rows_g)
+            f = _substep(f, fl, adh_x, adh_y)
+            if has_bcs:
+                f = _apply_outlet_window(f, fl, rows_g)
+        for k in range(K):
+            for i in range(9):
+                out_refs[k][i] = f[k][i][H:H + R]
+
+    center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
+    halo_up = pl.BlockSpec((9, H, nx),
+                           lambda i: (0, (i * (R // H) - 1) % hb, 0))
+    halo_dn = pl.BlockSpec((9, H, nx),
+                           lambda i: (0, (i * (R // H) + R // H) % hb, 0))
+    gc = pl.BlockSpec((3, R, nx), lambda i: (0, i, 0))
+    gu = pl.BlockSpec((3, H, nx),
+                      lambda i: (0, (i * (R // H) - 1) % hb, 0))
+    gd = pl.BlockSpec((3, H, nx),
+                      lambda i: (0, (i * (R // H) + R // H) % hb, 0))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[*([center, halo_up, halo_dn] * K), gc, gu, gd],
+        out_specs=tuple(pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
+                        for _ in range(K)),
+        out_shape=tuple(jax.ShapeDtypeStruct((9, ny, nx), dtype)
+                        for _ in range(K)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )
+
+    def step(f):
+        """f: (K, 9, ny, nx) -> (K, 9, ny, nx)."""
+        parts = []
+        for k in range(K):
+            parts.extend([f[k]] * 3)
+        outs = call(*parts, geo_dev, geo_dev, geo_dev)
+        return jnp.stack(outs)
+
+    return step

@@ -1,0 +1,70 @@
+"""Fused Pallas Shan-Chen kernel vs the jnp path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openlbmpm_tpu import geometry as geo
+from openlbmpm_tpu.models.shanchen import (SCBoundaryConfig, ShanChenMCMP,
+                                           ShanChenParams)
+from openlbmpm_tpu.pallas.shanchen import build_sc_fused_step
+
+
+def _params(g_solid=(0.0, 0.0), tau=(1.0, 0.8)):
+    return ShanChenParams(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                          g_solid=g_solid, tau=tau)
+
+
+@pytest.mark.parametrize("t_block", [1, 2, 4])
+def test_sc_fused_periodic(t_block):
+    n = 32
+    p = _params()
+    m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
+                     dtype=jnp.float32, use_pallas=False)
+    fused = build_sc_fused_step(
+        m.geo, p, jnp.float32, rows_per_block=16 if t_block > 2 else 8,
+        steps_per_call=t_block, bc_config=m.bcs, interpret=True)
+    a = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=8.0)
+    c = a
+    for _ in range(4):
+        a = m._step_sc(a)
+    for _ in range(4 // t_block):
+        c = fused(c)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+
+
+@pytest.mark.parametrize("inlet,outlet", [
+    ("zou_he_velocity", "convective"),
+    ("zou_he_pressure", "zou_he_pressure")])
+def test_sc_fused_channel_bcs(inlet, outlet):
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = SCBoundaryConfig(inlet=inlet, outlet=outlet,
+                           inlet_velocity=(-1e-3, 0.0),
+                           inlet_density=(1.02, 0.02),
+                           outlet_density=(0.02, 1.0))
+    p = _params(g_solid=(-0.3, 0.3), tau=(1.0, 1.0))
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, bcs,
+                     dtype=jnp.float32, use_pallas=False)
+    fused = build_sc_fused_step(m.geo, p, jnp.float32, rows_per_block=8,
+                                steps_per_call=2, bc_config=bcs,
+                                interpret=True)
+    a = m.init_state_layers((1.0, 1.0), (0.02, 0.02), invading_rows=8)
+    c = a
+    for _ in range(4):
+        a = m._step_sc(a)
+    for _ in range(2):
+        c = fused(c)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+
+
+def test_sc_fused_unsupported_returns_none():
+    p = ShanChenParams(g_matrix=((0.0, 0.2), (0.2, 0.0)),
+                       g_solid=(0.0, 0.0), tau=(1.0, 1.0), scheme="EFS")
+    g = geo.from_solid_mask(np.zeros((32, 32), bool))
+    assert build_sc_fused_step(g, p, jnp.float32, rows_per_block=8) is None
+    p2 = _params()
+    p2 = ShanChenParams(g_matrix=p2.g_matrix, g_solid=p2.g_solid,
+                        tau=p2.tau, collision="MRT")
+    assert build_sc_fused_step(g, p2, jnp.float32, rows_per_block=8) is None
