@@ -141,7 +141,7 @@ class ColorGradientRK:
     def _build_fused(self, use_pallas):
         """Fused Pallas collide-and-stream step (TPU only; the jnp path stays
         for CPU tests, interpret-mode checks, and sharded meshes)."""
-        if self.p.variant != "CSF" or not use_pallas:
+        if not use_pallas:
             return None
         if self.bcs.outlet == "modified_periodic":
             return None  # seam color swap handled on the jnp path only
@@ -162,11 +162,9 @@ class ColorGradientRK:
                         interpret: bool = False):
         """Temporally-blocked fused step: advances `steps_per_call` time
         steps per call with boundary rows applied in-kernel between
-        sub-steps (CSF only).  HBM traffic per step drops ~steps_per_call-x
-        on DMA-bound domains.  Returns None when the domain does not
+        sub-steps.  HBM traffic per step drops ~steps_per_call-x on
+        DMA-bound domains.  Returns None when the domain does not
         strip-decompose."""
-        if self.p.variant != "CSF":
-            return None
         from ..pallas.csf import build_csf_fused_step
         return build_csf_fused_step(
             self.geo, self.p, self.dtype, rows_per_block,
@@ -320,6 +318,8 @@ class ColorGradientRK:
     def _step_perturbation(self, f_r, f_b):
         f_r, f_b = self._apply_inlet(f_r, f_b)
         f_r, f_b = self._apply_outlet(f_r, f_b)
+        if self._fused is not None:
+            return self._fused(f_r, f_b)
         rho_r = mac.density(f_r)
         rho_b = mac.density(f_b)
         rho = rho_r + rho_b

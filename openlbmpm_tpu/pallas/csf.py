@@ -54,17 +54,21 @@ __all__ = ["build_csf_fused_step", "pick_rows_per_block"]
 _EPS = 1.0e-8
 
 
-def _halo_rows(steps_per_call: int) -> int:
-    """4 rings per sub-step, rounded up to the Mosaic sublane multiple."""
-    need = 4 * steps_per_call
+def _halo_rows(steps_per_call: int, variant: str = "CSF") -> int:
+    """Rings per sub-step (CSF: 4 — stream <- force <- gradient <- phi_ext
+    <- phi; Perturbation: 2 — stream <- gradient), rounded up to the Mosaic
+    sublane multiple with a 2-row margin for the BC source rows."""
+    per = 4 if variant == "CSF" else 2
+    need = per * steps_per_call + (0 if variant == "CSF" else 2)
     return ((need + 7) // 8) * 8
 
 
 def pick_rows_per_block(ny: int, nx: int, steps_per_call: int = 1,
-                        target_vmem_mb: float = 48.0) -> int:
+                        target_vmem_mb: float = 48.0,
+                        variant: str = "CSF") -> int:
     """Largest R dividing ny, multiple of H, under the VMEM budget (rough
     model: ~60 f32 planes of (R + 2H, nx))."""
-    h = _halo_rows(steps_per_call)
+    h = _halo_rows(steps_per_call, variant)
     best = 0
     for r in range(h, ny + 1, h):
         if ny % r:
@@ -112,18 +116,22 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          interpret: bool = False):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``.
 
-    `params` is a ``ColorGradientParams`` (variant must be "CSF").  With
-    ``steps_per_call`` = T > 1 the returned function advances T time steps
-    per call; `bc_config` (a ``CGBoundaryConfig``) must then be given unless
-    the domain is fully periodic, because BC rows are applied in-kernel
-    between sub-steps.  Returns None when the domain does not
+    `params` is a ``ColorGradientParams`` (CSF or Perturbation variant).
+    With ``steps_per_call`` = T > 1 the returned function advances T time
+    steps per call; `bc_config` (a ``CGBoundaryConfig``) must then be given
+    unless the domain is fully periodic, because BC rows are applied
+    in-kernel between sub-steps.  Returns None when the domain does not
     strip-decompose.
     """
     ny, nx = geometry.shape
+    variant = params.variant
+    is_pert = variant == "Perturbation"
+    if is_pert and params.collision != "SRT":
+        return None  # Perturbation MRT stays on the jnp path
     T = int(steps_per_call)
-    H = _halo_rows(T)
+    H = _halo_rows(T, variant)
     if rows_per_block is None:
-        rows_per_block = pick_rows_per_block(ny, nx, T)
+        rows_per_block = pick_rows_per_block(ny, nx, T, variant=variant)
     R = rows_per_block
     if not R or ny % R or R % H:
         return None
@@ -503,6 +511,113 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                  sh(fb_post[i], -dx, -dy)) * fl
         return out_r, out_b
 
+    # -- Perturbation-variant sub-step (Liu et al. 2014) --------------------
+    if is_pert:
+        from ..ops.colorgrad import B_CONSTANTS
+        from ..ops.equilibrium import rk_constants
+        c_r = rk_constants(params.alpha_r)
+        c_b = rk_constants(params.alpha_b)
+        a_kr, a_kb = float(params.a_kr), float(params.a_kb)
+        solid_phi = float(params.solid_phi)
+        if params.gradient_type == "Anisotropic":
+            grad_w = np.array([0.0] + [1 / 3] * 4 + [1 / 12] * 4)
+        else:
+            grad_w = np.array([0.0] + [1.0] * 8)
+
+    def _substep_pert(fr, fb, fl):
+        rho_r = sum(fr)
+        rho_b = sum(fb)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
+        mx = jnp.zeros_like(rho)
+        my = jnp.zeros_like(rho)
+        for i in range(1, 9):
+            exi, eyi = float(e[i, 0]), float(e[i, 1])
+            fti = fr[i] + fb[i]
+            if exi:
+                mx = mx + exi * fti
+            if eyi:
+                my = my + eyi * fti
+        ux = mx / rho_safe
+        uy = my / rho_safe
+        # Grunau quadratic tau(phi)
+        s1 = 2.0 * tau_r * tau_b / (tau_r + tau_b)
+        s2 = 2.0 * (tau_r - s1) / delta
+        s3 = -s2 / (2.0 * delta)
+        t2 = 2.0 * (s1 - tau_b) / delta
+        t3 = t2 / (2.0 * delta)
+        tau1 = s1 + s2 * phi + s3 * phi * phi
+        tau2 = s1 + t2 * phi + t3 * phi * phi
+        tau = jnp.where(phi > delta, tau_r,
+                        jnp.where(phi > 0.0, tau1,
+                                  jnp.where(phi >= -delta, tau2, tau_b)))
+        inv_tau = 1.0 / tau
+        uu = ux * ux + uy * uy
+        post_r = [None] * 9
+        post_b = [None] * 9
+        for i in range(9):
+            eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
+            quad = float(w_lat[i]) * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+            feq_r = rho_r * (float(c_r[i]) + quad)
+            feq_b = rho_b * (float(c_b[i]) + quad)
+            post_r[i] = fr[i] - (fr[i] - feq_r) * inv_tau
+            post_b[i] = fb[i] - (fb[i] - feq_b) * inv_tau
+        # color gradient of (rho_R - rho_B) with solidDiff on solid voxels
+        diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
+        gx = jnp.zeros_like(diff)
+        gy = jnp.zeros_like(diff)
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            wi = float(grad_w[i])
+            s = sh(diff, dx, dy)
+            if dx:
+                gx = gx + (wi * dx) * s
+            if dy:
+                gy = gy + (wi * dy) * s
+        g2 = gx * gx + gy * gy
+        gnorm = jnp.sqrt(g2)
+        gsafe = g2 > 0
+        g2_s = jnp.where(gsafe, g2, 1.0)
+        for i in range(9):
+            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
+            base = gnorm * (float(w_lat[i]) * eg * eg / g2_s
+                            - float(B_CONSTANTS[i]))
+            pert = jnp.where(gsafe, base, 0.0)
+            post_r[i] = post_r[i] + (0.5 * a_kr) * pert
+            post_b[i] = post_b[i] + (0.5 * a_kb) * pert
+        # RK-original recoloring on the total PDF
+        e_norm = np.sqrt((e.astype(np.float64) ** 2).sum(axis=1))
+        e_norm[e_norm == 0] = 1.0
+        safe2 = gnorm > _EPS
+        gnorm_s = jnp.where(safe2, gnorm, 1.0)
+        frac_r = rho_r / rho_safe
+        seg_base = beta * rho_r * rho_b / (rho_safe * rho_safe)
+        fr_post = [None] * 9
+        fb_post = [None] * 9
+        for i in range(9):
+            ft = post_r[i] + post_b[i]
+            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
+            cos_t_ = jnp.where(safe2, eg / (gnorm_s * float(e_norm[i])),
+                               0.0)
+            feq_rho = rho_r * float(c_r[i]) + rho_b * float(c_b[i])
+            seg = seg_base * feq_rho * cos_t_
+            fr_post[i] = frac_r * ft + seg
+            fb_post[i] = ft - fr_post[i]
+        out_r = [None] * 9
+        out_b = [None] * 9
+        out_r[0] = fr_post[0] * fl
+        out_b[0] = fb_post[0] * fl
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            io = int(opp[i])
+            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+            out_r[i] = jnp.where(up_solid, fr_post[io],
+                                 sh(fr_post[i], -dx, -dy)) * fl
+            out_b[i] = jnp.where(up_solid, fb_post[io],
+                                 sh(fb_post[i], -dx, -dy)) * fl
+        return out_r, out_b
+
     has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
 
     def kernel(fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d,
@@ -524,7 +639,10 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for _ in range(T):
             if has_bcs:
                 fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
-            fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
+            if is_pert:
+                fr, fb = _substep_pert(fr, fb, fl)
+            else:
+                fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
         for i in range(9):
             out_r[i] = fr[i][H:H + R]
             out_b[i] = fb[i][H:H + R]

@@ -110,3 +110,39 @@ def test_model_interpret_integration():
         a, b = m_ref._step_impl(a, b)
         c, d = m_pal._step_impl(c, d)
     assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+
+
+@pytest.mark.parametrize("t_block", [1, 2])
+def test_perturbation_fused_matches_jnp(t_block):
+    """The Perturbation-variant kernel (per-color BGK + perturbation +
+    RK-original recoloring) matches the jnp path."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="Perturbation", collision="SRT", surface_tension=0.005,
+        a_kr=0.005, a_kb=0.005, alpha_r=4 / 9, alpha_b=4 / 9,
+        solid_phi=0.5, tau_r=1.0, tau_b=0.8)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float32, use_pallas=False)
+    fused = build_csf_fused_step(m.geo, params, jnp.float32,
+                                 rows_per_block=8, steps_per_call=t_block,
+                                 bc_config=bcs, interpret=True)
+    a, b = m.init_state_layers(1.0, 1.0, invading_rows=8)
+    c, d = a, b
+    for _ in range(4):
+        a, b = m._step_perturbation(a, b)
+    for _ in range(4 // t_block):
+        c, d = fused(c, d)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+    assert float(jnp.max(jnp.abs(b - d))) < 5e-6
+
+
+def test_perturbation_mrt_falls_back_to_jnp():
+    params = ColorGradientParams(variant="Perturbation", collision="MRT")
+    g = geo.from_solid_mask(np.zeros((32, 32), bool))
+    assert build_csf_fused_step(g, params, jnp.float32,
+                                rows_per_block=8) is None
