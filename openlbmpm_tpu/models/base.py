@@ -53,6 +53,7 @@ def run_chunked(
     metrics: RunMetrics | None = None,
     donate: bool = True,
     profile_dir: str | None = None,
+    nan_guard: bool = False,
 ):
     """Advance `state` by `num_steps`, syncing to host every `io_interval`.
 
@@ -62,7 +63,10 @@ def run_chunked(
     is captured with ``jax.profiler`` and each chunk carries a
     ``StepTraceAnnotation`` — the observability the reference starts but
     never reports (``ShanChenD2Q9.py:1080,1493``, SURVEY.md section 5).
-    Returns the final state.
+    `nan_guard` checks the state for non-finite values at the I/O cadence
+    and raises with the offending step range (failure detection the
+    reference lacks; a diverged LBM run otherwise produces NaN fields
+    silently).  Returns the final state.
     """
     io_interval = max(1, min(io_interval, num_steps)) if num_steps else 1
 
@@ -97,6 +101,16 @@ def run_chunked(
             profiling = False
         done += n
         chunk_idx += 1
+        if nan_guard:
+            leaves = jax.tree_util.tree_leaves(state)
+            finite = all(bool(jax.numpy.isfinite(x).all()) for x in leaves
+                         if hasattr(x, "dtype") and
+                         jax.numpy.issubdtype(x.dtype, jax.numpy.floating))
+            if not finite:
+                raise FloatingPointError(
+                    f"non-finite state between steps {done - n} and {done} "
+                    "(diverged run: check tau > 0.5, interaction strength, "
+                    "and inlet velocity)")
         if metrics is not None:
             metrics.update(n, dt)
         if callback is not None and callback(done, state):

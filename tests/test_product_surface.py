@@ -172,3 +172,14 @@ def test_load_colorgradient3d_config():
     assert params.surface_tension == 0.005
     assert extras["velocity_z"] == -1.0e-4
     assert run.num_steps == 1000
+
+
+def test_nan_guard_raises_on_divergence():
+    from openlbmpm_tpu.models.base import run_chunked
+
+    def bad_step(s):
+        return s * jnp.inf
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        run_chunked(bad_step, jnp.ones((4, 4)), num_steps=4, io_interval=2,
+                    nan_guard=True, donate=False)
