@@ -68,12 +68,14 @@ class TransportRK:
     def __init__(self, geometry: Geometry, flow_params: ColorGradientParams,
                  transport_params: TransportParams,
                  boundaries: CGBoundaryConfig = CGBoundaryConfig(),
-                 standalone: bool = False, dtype=jnp.float32):
+                 standalone: bool = False, dtype=jnp.float32,
+                 use_pallas: bool | str = "auto"):
         self.geo = geometry
         self.tp = transport_params
         self.dtype = dtype
         self.standalone = standalone
-        self.flow = ColorGradientRK(geometry, flow_params, boundaries, dtype)
+        self.flow = ColorGradientRK(geometry, flow_params, boundaries, dtype,
+                                    use_pallas=False)
         self.lat_tr = D2Q5 if transport_params.scheme == 5 else D2Q9
         self.fluid_mask = self.flow.fluid_mask
         self.upwind_solid_tr = jnp.asarray(
@@ -90,7 +92,37 @@ class TransportRK:
         ny = geometry.ny
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
                            for r in (0, 1, 2, ny - 1, ny - 2)}
+        self._fused = None
+        if not standalone:
+            self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=0)
+
+    def _build_fused(self, use_pallas):
+        """Fused coupled flow+transport Pallas step (TPU, D2Q5 SRT)."""
+        if not use_pallas:
+            return None
+        if use_pallas == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
+        from ..pallas.csf import build_csf_fused_step
+        return build_csf_fused_step(
+            self.geo, self.flow.p, self.dtype, bc_config=self.flow.bcs,
+            transport_params=self.tp,
+            interpret=(use_pallas == "interpret"))
+
+    def make_block_step(self, steps_per_call: int = 2,
+                        rows_per_block: int | None = None,
+                        interpret: bool = False):
+        """Temporally-blocked fused coupled step (see pallas/csf.py)."""
+        from ..pallas.csf import build_csf_fused_step
+        return build_csf_fused_step(
+            self.geo, self.flow.p, self.dtype, rows_per_block,
+            steps_per_call=steps_per_call, bc_config=self.flow.bcs,
+            transport_params=self.tp, interpret=interpret)
 
     # ------------------------------------------------------------------
     def init_state(self, flow_state, conc0: np.ndarray) -> TransportState:
@@ -175,6 +207,9 @@ class TransportRK:
 
     def _step_impl(self, state: TransportState) -> TransportState:
         f_r, f_b, g, mass0 = state
+        if self._fused is not None:
+            f_r, f_b, g = self._fused(f_r, f_b, g)
+            return TransportState(f_r, f_b, g, mass0)
         rho_r, rho_b, phi, gx, gy, fx, fy = \
             self.flow.color_force_fields(f_r, f_b)
         rho = rho_r + rho_b

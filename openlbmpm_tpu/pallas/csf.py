@@ -54,12 +54,18 @@ __all__ = ["build_csf_fused_step", "pick_rows_per_block"]
 _EPS = 1.0e-8
 
 
-def _halo_rows(steps_per_call: int, variant: str = "CSF") -> int:
+def _halo_rows(steps_per_call: int, variant: str = "CSF",
+               transport: str | None = None) -> int:
     """Rings per sub-step (CSF: 4 — stream <- force <- gradient <- phi_ext
-    <- phi; Perturbation: 2 — stream <- gradient), rounded up to the Mosaic
-    sublane multiple with a 2-row margin for the BC source rows."""
+    <- phi; Perturbation: 2 — stream <- gradient; +1 when coupled transport
+    uses hard interface bounce-back, whose post-stream repair reads
+    neighbor post-stream values), rounded up to the Mosaic sublane multiple
+    with a margin for the BC source rows."""
     per = 4 if variant == "CSF" else 2
-    need = per * steps_per_call + (0 if variant == "CSF" else 2)
+    if transport == "bounceback":
+        per += 1
+    margin = 2 if (variant != "CSF" or transport is not None) else 0
+    need = per * steps_per_call + margin
     return ((need + 7) // 8) * 8
 
 
@@ -113,8 +119,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          rows_per_block: int | None = None,
                          steps_per_call: int = 1,
                          bc_config=None,
+                         transport_params=None,
                          interpret: bool = False):
-    """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``.
+    """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
+    `transport_params` the coupled step ``(f_r, f_b, g) -> (f_r', f_b',
+    g')`` advancing phase-confined tracers alongside the flow (the fused
+    form of ``TransportRK._step_impl``; D2Q5 SRT transport only).
 
     `params` is a ``ColorGradientParams`` (CSF or Perturbation variant).
     With ``steps_per_call`` = T > 1 the returned function advances T time
@@ -128,8 +138,18 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_pert = variant == "Perturbation"
     if is_pert and params.collision != "SRT":
         return None  # Perturbation MRT stays on the jnp path
+    tp = transport_params
+    has_transport = tp is not None
+    if has_transport:
+        if is_pert or tp.scheme != 5 or tp.relaxation != "SRT" \
+                or tp.conserve_mass:
+            return None
+        if tp.inlet not in ("none", "inamuro", "anti_bounce_back", "zero") \
+                or tp.outlet not in ("none", "freeflow"):
+            return None
+    tr_mode = tp.interface_mode if has_transport else None
     T = int(steps_per_call)
-    H = _halo_rows(T, variant)
+    H = _halo_rows(T, variant, tr_mode if has_transport else None)
     if rows_per_block is None:
         rows_per_block = pick_rows_per_block(ny, nx, T, variant=variant)
     R = rows_per_block
@@ -278,9 +298,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fb[i] = jnp.where(m, _rolly(fb[i], 1, W), fb[i])
         return fr, fb
 
-    # -- one physics sub-step on the full window ---------------------------
-    def _substep(fr, fb, fl, wet, ns_x, ns_y):
-        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists."""
+    # -- flow fields (phi, wetted gradient, CSF force) on the full window ---
+    def _fields(fr, fb, fl, wet, ns_x, ns_y):
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
@@ -391,6 +410,13 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             fy = fy + bfy * rho
         fx = fx * fl
         fy = fy * fl
+        return rho_r, rho_b, rho, rho_safe, phi, gx, gy, fx, fy
+
+    # -- one physics sub-step on the full window ---------------------------
+    def _substep(fr, fb, fl, wet, ns_x, ns_y):
+        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists."""
+        rho_r, rho_b, rho, rho_safe, phi, gx, gy, fx, fy = \
+            _fields(fr, fb, fl, wet, ns_x, ns_y)
 
         # macroscopic velocity and tau(phi)
         mx = jnp.zeros_like(rho)
@@ -618,10 +644,118 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                  sh(fb_post[i], -dx, -dy)) * fl
         return out_r, out_b
 
-    has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
+    # -- coupled D2Q5 transport sub-step ------------------------------------
+    if has_transport:
+        E5 = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)])
+        W5 = np.array([1 / 3] + [1 / 6] * 4)
+        OPP5 = np.array([0, 2, 1, 4, 3])
+        NT = tp.num_tracers
+        from ..ops.transport import j_coefficients
+        JC = j_coefficients(np.asarray(tp.j0))  # (NT, 5)
+        tau_tr = tuple(float(t) for t in tp.tau)
+        betas = tuple(float(b) for b in tp.beta_interface)
+        stoich = tuple(float(s) for s in tp.reaction_stoich)
+        crit = float(tp.criteria)
 
-    def kernel(fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d,
-               out_r, out_b):
+    def _transport_substep(g, fl, rows_g, ux, uy, gx, gy, rho_r):
+        """g: list over NT of lists of 5 planes -> advanced tracer PDFs
+        (mirrors ``TransportRK._transport_substep``)."""
+        conc = [sum(g[t]) for t in range(NT)]
+        in_dom = rho_r < crit
+        # SRT J-scheme collision
+        for t in range(NT):
+            inv_t = 1.0 / tau_tr[t]
+            for i in range(5):
+                eu = float(E5[i, 0]) * ux + float(E5[i, 1]) * uy
+                geq = conc[t] * (float(JC[t, i]) + 0.5 * eu)
+                g[t][i] = g[t][i] - (g[t][i] - geq) * inv_t
+        # semi-permeable interface (beta partition)
+        if tr_mode == "permeable" and any(betas):
+            value = jnp.where(in_dom, -1.0, 0.0)
+            norm = jnp.sqrt(gx * gx + gy * gy)
+            safe = norm > _EPS
+            norm_s = jnp.where(safe, norm, 1.0)
+            ugx = jnp.where(safe, -gx / norm_s, 0.0)
+            ugy = jnp.where(safe, -gy / norm_s, 0.0)
+            for t in range(NT):
+                if not betas[t % len(betas)]:
+                    continue
+                bt = betas[t % len(betas)]
+                for i in range(1, 5):
+                    cos_i = float(E5[i, 0]) * ugx + float(E5[i, 1]) * ugy
+                    g[t][i] = g[t][i] + bt * value * float(W5[i]) * \
+                        cos_i * conc[t]
+        # bilinear reaction A + B -> C
+        if getattr(tp, "reaction_rate", 0.0):
+            r = float(tp.reaction_rate) * conc[0] * conc[1]
+            for t in range(NT):
+                st_t = stoich[t % len(stoich)]
+                for i in range(5):
+                    g[t][i] = g[t][i] + st_t * r * float(JC[t, i])
+        flb = fl > 0.5
+        # free-flow outlet before streaming (reference order)
+        if tp.outlet == "freeflow":
+            for row in (2, 1, 0):
+                m = jnp.logical_and(rows_g == row, flb)
+                for t in range(NT):
+                    for i in range(5):
+                        g[t][i] = jnp.where(m, _rolly(g[t][i], 1, W),
+                                            g[t][i])
+        # D2Q5 pull-streaming with half-way bounce-back
+        for t in range(NT):
+            new = [g[t][0] * fl]
+            for i in range(1, 5):
+                dx, dy = int(E5[i, 0]), int(E5[i, 1])
+                io = int(OPP5[i])
+                up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+                new.append(jnp.where(up_solid, g[t][io],
+                                     sh(g[t][i], -dx, -dy)) * fl)
+            g[t] = new
+        # hard interface bounce-back (post-stream repair)
+        if tr_mode == "bounceback":
+            dom_f = jnp.where(in_dom, 1.0, 0.0)
+            for i in range(1, 5):
+                dx, dy = int(E5[i, 0]), int(E5[i, 1])
+                io = int(OPP5[i])
+                nbr_out = jnp.logical_and(in_dom,
+                                          sh(dom_f, dx, dy) < 0.5)
+                recv = jnp.logical_and(~in_dom,
+                                       sh(dom_f, -dx, -dy) > 0.5)
+                for t in range(NT):
+                    leaked = sh(g[t][i], dx, dy)
+                    g[t][io] = jnp.where(nbr_out, leaked, g[t][io])
+                    g[t][i] = jnp.where(recv, 0.0, g[t][i])
+        # inlet BCs after streaming
+        if tp.inlet == "inamuro":
+            m = jnp.logical_and(rows_g == ny - 1, flb)
+            for t in range(NT):
+                tgt = float(tp.inlet_conc[t % len(tp.inlet_conc)])
+                known = g[t][0] + g[t][1] + g[t][2] + g[t][3]
+                g[t][4] = jnp.where(m, tgt - known, g[t][4])
+        elif tp.inlet == "anti_bounce_back":
+            # row ny-1 slot 4 <- -g3(ny-2) + 2 w3 C: read g3 one row below
+            m = jnp.logical_and(rows_g == ny - 1, flb)
+            for t in range(NT):
+                tgt = float(tp.inlet_conc[t % len(tp.inlet_conc)])
+                val = -_rolly(g[t][3], -1, W) + 2.0 * float(W5[3]) * tgt
+                g[t][4] = jnp.where(m, val, g[t][4])
+        elif tp.inlet == "zero":
+            m = jnp.logical_and(rows_g == ny - 2, flb)
+            for t in range(NT):
+                for i in range(5):
+                    g[t][i] = jnp.where(m, _rolly(g[t][i], -1, W), g[t][i])
+        return g
+
+    has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
+    need_rows = T > 1 or has_bcs or has_transport
+
+    def kernel(*refs):
+        fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
+        idx = 9
+        if has_transport:
+            tr_c, tr_u, tr_d = refs[idx:idx + 3]
+            idx += 3
+        outs = refs[idx:]
         f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
         f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
         geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
@@ -632,20 +766,48 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
         fr = [f_r[i] for i in range(9)]
         fb = [f_b[i] for i in range(9)]
-        if T > 1 or has_bcs:
+        if has_transport:
+            gwin = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=2)
+            g = [[gwin[t, i] for i in range(5)] for t in range(NT)]
+        rows_g = None
+        if need_rows:
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             rows_g = (i0 * R - H + r_iota) % ny
         for _ in range(T):
+            if has_transport:
+                # transport sees the CURRENT flow fields (pre-BC), as in
+                # TransportRK._step_impl
+                rho_r_, _, _, rho_safe_, _, gx_, gy_, fx_, fy_ = \
+                    _fields(fr, fb, fl, wet, ns_x, ns_y)
+                mx_ = jnp.zeros_like(rho_r_)
+                my_ = jnp.zeros_like(rho_r_)
+                for i in range(1, 9):
+                    exi, eyi = float(e[i, 0]), float(e[i, 1])
+                    fti = fr[i] + fb[i]
+                    if exi:
+                        mx_ = mx_ + exi * fti
+                    if eyi:
+                        my_ = my_ + eyi * fti
+                ux_ = (mx_ + 0.5 * fx_) / rho_safe_
+                uy_ = (my_ + 0.5 * fy_) / rho_safe_
+                g = _transport_substep(g, fl, rows_g, ux_, uy_, gx_, gy_,
+                                       rho_r_)
             if has_bcs:
                 fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
             if is_pert:
                 fr, fb = _substep_pert(fr, fb, fl)
             else:
                 fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
+        out_r, out_b = outs[0], outs[1]
         for i in range(9):
             out_r[i] = fr[i][H:H + R]
             out_b[i] = fb[i][H:H + R]
+        if has_transport:
+            out_g = outs[2]
+            for t in range(NT):
+                for i in range(5):
+                    out_g[t, i] = g[t][i][H:H + R]
 
     center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
     halo_up = pl.BlockSpec((9, H, nx),
@@ -658,24 +820,44 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     ghalo_dn = pl.BlockSpec((n_geo, H, nx),
                             lambda i: (0, (i * (R // H) + R // H) % hb, 0))
 
+    in_specs = [center, halo_up, halo_dn,
+                center, halo_up, halo_dn,
+                gcenter, ghalo_up, ghalo_dn]
+    out_specs = [pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
+                 pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((9, ny, nx), dtype),
+                 jax.ShapeDtypeStruct((9, ny, nx), dtype)]
+    if has_transport:
+        in_specs += [
+            pl.BlockSpec((NT, 5, R, nx), lambda i: (0, 0, i, 0)),
+            pl.BlockSpec((NT, 5, H, nx),
+                         lambda i: (0, 0, (i * (R // H) - 1) % hb, 0)),
+            pl.BlockSpec((NT, 5, H, nx),
+                         lambda i: (0, 0, (i * (R // H) + R // H) % hb, 0)),
+        ]
+        out_specs.append(
+            pl.BlockSpec((NT, 5, R, nx), lambda i: (0, 0, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((NT, 5, ny, nx), dtype))
+
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[center, halo_up, halo_dn,
-                  center, halo_up, halo_dn,
-                  gcenter, ghalo_up, ghalo_dn],
-        out_specs=(pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
-                   pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))),
-        out_shape=(jax.ShapeDtypeStruct((9, ny, nx), dtype),
-                   jax.ShapeDtypeStruct((9, ny, nx), dtype)),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )
 
-    def step(f_r, f_b):
-        return call(f_r, f_r, f_r, f_b, f_b, f_b,
-                    geo_dev, geo_dev, geo_dev)
+    if has_transport:
+        def step(f_r, f_b, g):
+            return call(f_r, f_r, f_r, f_b, f_b, f_b,
+                        geo_dev, geo_dev, geo_dev, g, g, g)
+    else:
+        def step(f_r, f_b):
+            return call(f_r, f_r, f_r, f_b, f_b, f_b,
+                        geo_dev, geo_dev, geo_dev)
 
     return step

@@ -146,3 +146,43 @@ def test_perturbation_mrt_falls_back_to_jnp():
     g = geo.from_solid_mask(np.zeros((32, 32), bool))
     assert build_csf_fused_step(g, params, jnp.float32,
                                 rows_per_block=8) is None
+
+
+@pytest.mark.parametrize("mode,t_block,rpb", [
+    ("permeable", 1, 8), ("bounceback", 1, 8), ("permeable", 2, 16)])
+def test_coupled_transport_fused_matches_jnp(mode, t_block, rpb):
+    """The coupled flow+transport kernel (CSF + D2Q5 SRT tracers with
+    interface handling, reaction, Inamuro inlet) matches TransportRK."""
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    kw = dict(num_tracers=2, scheme=5, tau=(1.0, 0.9), j0=(1 / 3, 1 / 3),
+              interface_mode=mode, beta_interface=(0.5, 0.2),
+              inlet="inamuro", inlet_conc=(1.0, 0.5), outlet="freeflow")
+    if mode == "bounceback":
+        kw["beta_interface"] = (0.0, 0.0)
+    tp = TransportParams(**kw)
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float32, use_pallas=False)
+    fused = build_csf_fused_step(m.geo, fp, jnp.float32,
+                                 rows_per_block=rpb,
+                                 steps_per_call=t_block, bc_config=bcs,
+                                 transport_params=tp, interpret=True)
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((2, n, n))
+    conc0[:, 20:28, :] = 1.0
+    st = m.init_state(fs, conc0)
+    a = st
+    for _ in range(4):
+        a = m._step_impl(a)
+    fr, fb, g = st.f_r, st.f_b, st.g
+    for _ in range(4 // t_block):
+        fr, fb, g = fused(fr, fb, g)
+    assert float(jnp.max(jnp.abs(a.f_r - fr))) < 5e-6
+    assert float(jnp.max(jnp.abs(a.g - g))) < 5e-6
