@@ -116,8 +116,9 @@ class ShanChenMCMP:
         self._step = jax.jit(self._step_impl, donate_argnums=0)
 
     def _build_fused(self, use_pallas):
-        """Fused Pallas step (original SC / SRT / psi=rho on TPU); the jnp
-        path remains for EFS, MRT, P-R EOS, CPU, and sharded meshes."""
+        """Fused Pallas step (original SC with SRT, or EFS with SRT/MRT;
+        psi=rho, TPU); the jnp path remains for SC+MRT, P-R EOS, CPU, and
+        sharded meshes."""
         if not use_pallas:
             return None
         if use_pallas == "auto":
@@ -284,9 +285,9 @@ class ShanChenMCMP:
         return f
 
     def _step_impl(self, f):
+        if self._fused is not None:
+            return self._fused(f)  # BC rows applied in-kernel
         if self.p.scheme == "SC":
-            if self._fused is not None:
-                return self._fused(f)  # BC rows applied in-kernel
             return self._step_sc(f)
         return self._step_efs(f)
 

@@ -13,8 +13,10 @@ scheme as ``pallas/csf.py``.  The SC data chain touches only +-1 neighbors
 per sub-step (force stencil) plus +-1 for streaming = 2 halo rings per
 sub-step, so H = 8 supports steps_per_call up to 4.
 
-The EFS scheme (iso-8/10 stencils, transformed-PDF EDM pipeline) stays on
-the jnp path.
+The EFS scheme (Porter 2012: iso-4/8/10 difference-form force, EDM update
+on the transformed PDF fbar = f - f^F/2, SRT or constant-matrix MRT) fuses
+into the same kernel with (stencil radius + 1) halo rings per sub-step
+(``ExplicitD2Q9GPU.py`` kernels; jnp path ``ShanChenMCMP._step_efs``).
 """
 
 from __future__ import annotations
@@ -38,11 +40,11 @@ _W = D2Q9.w
 _OPP = D2Q9.opp
 
 
-def _halo_rows(steps_per_call: int) -> int:
-    # 2 rings per sub-step (force stencil + stream), plus 4 rows so the
-    # deepest BC source row (outlet row 2 reads row 3) stays valid through
-    # the last sub-step's post-stream outlet rewrite.
-    need = 2 * steps_per_call + 4
+def _halo_rows(steps_per_call: int, rings: int = 2) -> int:
+    # `rings` per sub-step (force stencil radius + stream), plus 4 rows so
+    # the deepest BC source row (outlet row 2 reads row 3) stays valid
+    # through the last sub-step's post-stream outlet rewrite.
+    need = rings * steps_per_call + 4
     return ((need + 7) // 8) * 8
 
 
@@ -51,16 +53,21 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         steps_per_call: int = 1,
                         bc_config=None,
                         interpret: bool = False):
-    """Build ``f (K, 9, ny, nx) -> f'`` for the original SC scheme (SRT,
-    psi = rho).  Returns None when unsupported (EFS scheme, MRT, P-R psi,
-    or a non-decomposing domain)."""
-    if params.scheme != "SC" or params.collision != "SRT" \
-            or params.psi != "rho":
+    """Build ``f (K, 9, ny, nx) -> f'`` for the Shan-Chen family: original
+    SC (SRT) or explicit-forcing EFS (SRT or constant-matrix MRT, iso
+    4/8/10), psi = rho.  Returns None when unsupported (P-R psi, SC+MRT, or
+    a non-decomposing domain)."""
+    is_efs = params.scheme == "EFS"
+    if params.psi != "rho":
+        return None
+    if not is_efs and params.collision != "SRT":
         return None
     ny, nx = geometry.shape
     K = params.num_fluids
     T = int(steps_per_call)
-    H = _halo_rows(T)
+    iso = int(getattr(params, "iso_order", 4)) if is_efs else 4
+    radius = {4: 1, 8: 2, 10: 3}[iso]
+    H = _halo_rows(T, rings=(radius + 1) if is_efs else 2)
     if rows_per_block is None:
         for r in (128, 64, 32, 16, 8):
             if ny % r == 0 and r % H == 0:
@@ -96,19 +103,48 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     g_sol = np.asarray(params.g_solid, np.float64)
     bfx, bfy = (float(v) for v in params.body_force)
 
-    # static geometry channels: is_fluid, adhesion_x, adhesion_y
-    # (adhesion = sum_dir w_dir e_dir [solid at x+e], D2Q9 weights —
-    # ``OptimizedD2Q9GPU.py:209-312``)
+    # static geometry channels.
+    # SC: [is_fluid, adhesion_x, adhesion_y] with D2Q9 weights
+    #     (``OptimizedD2Q9GPU.py:209-312``).
+    # EFS: [is_fluid, fluid_vec_x, fluid_vec_y, adh_st_x, adh_st_y] with the
+    #     iso-stencil weights (``ExplicitD2Q9GPU.py`` schemes): fluid_vec is
+    #     the difference-form correction sum_dir(fluid) w e, adh_st the
+    #     solid-adsorption sum.
     solid = geometry.is_solid.astype(np.float64)
-    adx = np.zeros_like(solid)
-    ady = np.zeros_like(solid)
-    for i in range(1, 9):
-        dx, dy = int(_E[i, 0]), int(_E[i, 1])
-        s = np.roll(np.roll(solid, -dy, 0), -dx, 1)
-        adx += float(_W[i]) * dx * s
-        ady += float(_W[i]) * dy * s
-    geo_np = np.stack([geometry.is_fluid.astype(np.float64), adx, ady])
+    fluid = geometry.is_fluid.astype(np.float64)
+    if is_efs:
+        from ..lattice import ISO_STENCILS
+        st = ISO_STENCILS[iso]
+        offsets = [(int(o[0]), int(o[1])) for o in st.offsets]
+        st_w = [float(w) for w in st.weights]
+        fvx = np.zeros_like(solid)
+        fvy = np.zeros_like(solid)
+        asx = np.zeros_like(solid)
+        asy = np.zeros_like(solid)
+        for (dx, dy), w in zip(offsets, st_w):
+            sf = np.roll(np.roll(fluid, -dy, 0), -dx, 1)
+            ss = np.roll(np.roll(solid, -dy, 0), -dx, 1)
+            fvx += w * dx * sf
+            fvy += w * dy * sf
+            asx += w * dx * ss
+            asy += w * dy * ss
+        geo_np = np.stack([fluid, fvx, fvy, asx, asy])
+    else:
+        adx = np.zeros_like(solid)
+        ady = np.zeros_like(solid)
+        for i in range(1, 9):
+            dx, dy = int(_E[i, 0]), int(_E[i, 1])
+            s = np.roll(np.roll(solid, -dy, 0), -dx, 1)
+            adx += float(_W[i]) * dx * s
+            ady += float(_W[i]) * dy * s
+        geo_np = np.stack([fluid, adx, ady])
+    n_geo = geo_np.shape[0]
     geo_dev = jnp.asarray(geo_np, dtype)
+
+    if is_efs and params.collision == "MRT":
+        from ..ops.collision import mrt_relaxation_d2q9_sc
+        mrt_c = [D2Q9.M_inv @ (np.diag(mrt_relaxation_d2q9_sc(t)) @ D2Q9.M)
+                 for t in tau]
 
     sh = functools.partial(_sh, nx=nx, w=W)
 
@@ -171,6 +207,95 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W),
                                             f[k][i])
         return f
+
+    def _substep_efs(f, fl, fvx, fvy, asx, asy):
+        """EFS sub-step on the transformed PDF fbar = f - f^F/2
+        (``ShanChenMCMP._step_efs``)."""
+        rho = [sum(f[k]) for k in range(K)]
+        rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
+        # iso-stencil sums of psi = rho (zero on solid)
+        vx = [jnp.zeros_like(rho[0]) for _ in range(K)]
+        vy = [jnp.zeros_like(rho[0]) for _ in range(K)]
+        for (dx, dy), w in zip(offsets, st_w):
+            for k in range(K):
+                s = sh(rho[k], dx, dy)
+                if dx:
+                    vx[k] = vx[k] + (w * dx) * s
+                if dy:
+                    vy[k] = vy[k] + (w * dy) * s
+        fx = [None] * K
+        fy = [None] * K
+        for k in range(K):
+            gvx = jnp.zeros_like(rho[0])
+            gvy = jnp.zeros_like(rho[0])
+            for j in range(K):
+                if not g_mat[k, j]:
+                    continue
+                gvx = gvx + float(g_mat[k, j]) * (vx[j] - rho[j] * fvx)
+                gvy = gvy + float(g_mat[k, j]) * (vy[j] - rho[j] * fvy)
+            fx[k] = -6.0 * rho[k] * gvx - float(g_sol[k]) * rho[k] * asx
+            fy[k] = -6.0 * rho[k] * gvy - float(g_sol[k]) * rho[k] * asy
+            if bfx:
+                fx[k] = fx[k] + bfx * rho[k]
+            if bfy:
+                fy[k] = fy[k] + bfy * rho[k]
+        # shared equilibrium velocity sum_k (m_k + F_k/2)/tau_k / sum rho/tau
+        den = sum(rho[k] / tau[k] for k in range(K))
+        den = jnp.where(den != 0, den, 1.0)
+        numx = jnp.zeros_like(rho[0])
+        numy = jnp.zeros_like(rho[0])
+        for k in range(K):
+            mxk = jnp.zeros_like(rho[0])
+            myk = jnp.zeros_like(rho[0])
+            for i in range(1, 9):
+                exi, eyi = float(_E[i, 0]), float(_E[i, 1])
+                if exi:
+                    mxk = mxk + exi * f[k][i]
+                if eyi:
+                    myk = myk + eyi * f[k][i]
+            numx = numx + (mxk + 0.5 * fx[k]) / tau[k]
+            numy = numy + (myk + 0.5 * fy[k]) / tau[k]
+        ux = numx / den
+        uy = numy / den
+        uu = ux * ux + uy * uy
+
+        out = [[None] * 9 for _ in range(K)]
+        for k in range(K):
+            inv_t = 1.0 / tau[k]
+            feq = [None] * 9
+            ff = [None] * 9
+            for i in range(9):
+                eu = float(_E[i, 0]) * ux + float(_E[i, 1]) * uy
+                feq[i] = float(_W[i]) * rho[k] * \
+                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+                ff[i] = (fx[k] * (float(_E[i, 0]) - ux) +
+                         fy[k] * (float(_E[i, 1]) - uy)) * feq[i] * \
+                    (3.0 / rho_safe[k])
+            post = [None] * 9
+            if params.collision == "SRT":
+                for i in range(9):
+                    post[i] = f[k][i] + \
+                        (feq[i] - f[k][i] - 0.5 * ff[i]) * inv_t + ff[i]
+            else:
+                # f' = f - C_k (f - (feq - ff/2)) + ff, C_k constant
+                dfk = [f[k][i] - feq[i] + 0.5 * ff[i] for i in range(9)]
+                C = mrt_c[k]
+                for i in range(9):
+                    acc = f[k][i] + ff[i]
+                    for b in range(9):
+                        c = float(C[i, b])
+                        if c == 0.0:
+                            continue
+                        acc = acc - (dfk[b] if c == 1.0 else c * dfk[b])
+                    post[i] = acc
+            out[k][0] = post[0] * fl
+            for i in range(1, 9):
+                dx, dy = int(_E[i, 0]), int(_E[i, 1])
+                io = int(_OPP[i])
+                up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+                out[k][i] = jnp.where(up_solid, post[io],
+                                      sh(post[i], -dx, -dy)) * fl
+        return out
 
     def _substep(f, fl, adh_x, adh_y):
         rho = [sum(f[k]) for k in range(K)]
@@ -252,8 +377,6 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_refs = refs[3 * K + 3:]
         geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
         fl = geo[0]
-        adh_x = geo[1]
-        adh_y = geo[2]
         f = []
         for k in range(K):
             c, u, d = f_refs[3 * k:3 * k + 3]
@@ -263,12 +386,15 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             rows_g = (i0 * R - H + r_iota) % ny
-        # Op order matches the jnp path (``_step_sc``): inlet BC -> physics
-        # -> outlet BC per time step.
+        # Op order matches the jnp path (``_step_sc``/``_step_efs``):
+        # inlet BC -> physics -> outlet BC per time step.
         for _ in range(T):
             if has_bcs:
                 f = _apply_inlet_window(f, fl, rows_g)
-            f = _substep(f, fl, adh_x, adh_y)
+            if is_efs:
+                f = _substep_efs(f, fl, geo[1], geo[2], geo[3], geo[4])
+            else:
+                f = _substep(f, fl, geo[1], geo[2])
             if has_bcs:
                 f = _apply_outlet_window(f, fl, rows_g)
         for k in range(K):
@@ -280,10 +406,10 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
     halo_dn = pl.BlockSpec((9, H, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0))
-    gc = pl.BlockSpec((3, R, nx), lambda i: (0, i, 0))
-    gu = pl.BlockSpec((3, H, nx),
+    gc = pl.BlockSpec((n_geo, R, nx), lambda i: (0, i, 0))
+    gu = pl.BlockSpec((n_geo, H, nx),
                       lambda i: (0, (i * (R // H) - 1) % hb, 0))
-    gd = pl.BlockSpec((3, H, nx),
+    gd = pl.BlockSpec((n_geo, H, nx),
                       lambda i: (0, (i * (R // H) + R // H) % hb, 0))
 
     call = pl.pallas_call(

@@ -61,10 +61,38 @@ def test_sc_fused_channel_bcs(inlet, outlet):
 
 def test_sc_fused_unsupported_returns_none():
     p = ShanChenParams(g_matrix=((0.0, 0.2), (0.2, 0.0)),
-                       g_solid=(0.0, 0.0), tau=(1.0, 1.0), scheme="EFS")
+                       g_solid=(0.0, 0.0), tau=(1.0, 1.0), psi="PR")
     g = geo.from_solid_mask(np.zeros((32, 32), bool))
     assert build_sc_fused_step(g, p, jnp.float32, rows_per_block=8) is None
     p2 = _params()
     p2 = ShanChenParams(g_matrix=p2.g_matrix, g_solid=p2.g_solid,
                         tau=p2.tau, collision="MRT")
     assert build_sc_fused_step(g, p2, jnp.float32, rows_per_block=8) is None
+
+
+@pytest.mark.parametrize("iso,coll,t_block", [
+    (4, "SRT", 1), (8, "SRT", 1), (10, "SRT", 1),
+    (4, "MRT", 1), (8, "MRT", 2)])
+def test_efs_fused_matches_jnp(iso, coll, t_block):
+    """EFS fused kernel (iso-4/8/10 force, EDM SRT / constant-matrix MRT)
+    matches the jnp transformed-PDF path with full BC choreography."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = SCBoundaryConfig(inlet="zou_he_velocity", outlet="convective",
+                           inlet_velocity=(-1e-3, 0.0))
+    p = ShanChenParams(g_matrix=((0.0, 0.2), (0.2, 0.0)),
+                       g_solid=(-0.14, 0.14), tau=(1.0, 0.8),
+                       scheme="EFS", iso_order=iso, collision=coll)
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, bcs,
+                     dtype=jnp.float32, use_pallas=False)
+    fused = build_sc_fused_step(m.geo, p, jnp.float32, rows_per_block=16,
+                                steps_per_call=t_block, bc_config=bcs,
+                                interpret=True)
+    a = m.init_state_layers((1.0, 1.0), (0.02, 0.02), invading_rows=8)
+    c = a
+    for _ in range(4):
+        a = m._step_efs(a)
+    for _ in range(4 // t_block):
+        c = fused(c)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
