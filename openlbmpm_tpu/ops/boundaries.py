@@ -36,6 +36,7 @@ import numpy as np
 __all__ = [
     "zou_he_velocity_top", "zou_he_pressure_top", "zou_he_pressure_bottom",
     "total_velocity_inlet_top", "total_pressure_outlet_bottom",
+    "chang_velocity_top", "chang_pressure_top", "chang_pressure_bottom",
     "copy_row", "copy_rows_from_above", "convective_outlet_rows",
     "modified_periodic_color_swap",
 ]
@@ -161,6 +162,88 @@ def total_pressure_outlet_bottom(f_r, f_b, rho_target, row, mask):
         f_r = _set_row(f_r, i, row, ratio_r * val, mask)
         f_b = _set_row(f_b, i, row, ratio_b * val, mask)
     return f_r, f_b
+
+
+def chang_velocity_top(f_new, f_old, vy, row, mask):
+    """Chang et al. 2009 corrector velocity inlet at a top-side row.
+
+    Uses both the pre- and post-streaming PDFs
+    (``calVelocityBoundaryHigherChangGPU:1127-1165``; the reference zeroes
+    the force terms, so they are omitted).  `vy` broadcasts over leading
+    (per-fluid) axes.  Returns f_new.
+    """
+    n = f_new[..., row, :]
+    o = f_old[..., row, :]
+    rho = (n[..., 0, :] + n[..., 1, :] + n[..., 3, :] +
+           2.0 * (n[..., 2, :] + n[..., 5, :] + n[..., 6, :])) / (1.0 + vy)
+    rv = rho * vy
+    new4 = o[..., 4, :] - (2.0 / 3.0) * (rv + o[..., 4, :] + o[..., 7, :] +
+                                         o[..., 8, :]) + \
+        (2.0 / 3.0) * (n[..., 2, :] + n[..., 5, :] + n[..., 6, :])
+    new7 = o[..., 7, :] + 0.5 * (n[..., 1, :] - n[..., 3, :]) + \
+        (n[..., 2, :] - o[..., 4, :]) / 6.0 + \
+        (2.0 / 3.0) * (n[..., 5, :] - o[..., 7, :]) - \
+        (n[..., 6, :] - o[..., 8, :]) / 3.0 - rv / 6.0
+    new8 = o[..., 8, :] - rv / 6.0 - 0.5 * (n[..., 1, :] - n[..., 3, :]) + \
+        (n[..., 2, :] - o[..., 4, :]) / 6.0 - \
+        (n[..., 5, :] - o[..., 7, :]) / 3.0 + \
+        (2.0 / 3.0) * (n[..., 6, :] - o[..., 8, :])
+    f_new = _set_row(f_new, 4, row, new4, mask)
+    f_new = _set_row(f_new, 7, row, new7, mask)
+    f_new = _set_row(f_new, 8, row, new8, mask)
+    return f_new
+
+
+def chang_pressure_top(f_new, f_old, rho_frac_target, row, mask):
+    """Chang et al. 2009 pressure inlet at a top-side row
+    (``calPressureBoundaryHigherChangGPU:1172-1218``).
+
+    rho_frac_target: per-fluid target density on the row (the reference
+    splits the specified total by the local density fraction; pass
+    rho_i/rho_tot * rho_target).
+    """
+    n = f_new[..., row, :]
+    o = f_old[..., row, :]
+    rt = jnp.where(rho_frac_target != 0, rho_frac_target, 1.0)
+    vy = -1.0 + (n[..., 0, :] + n[..., 1, :] + n[..., 3, :] +
+                 2.0 * (n[..., 2, :] + n[..., 5, :] + n[..., 6, :])) / rt
+    rv = rho_frac_target * vy
+    bal_y = rv + o[..., 7, :] + o[..., 8, :] + o[..., 4, :] - \
+        n[..., 2, :] - n[..., 5, :] - n[..., 6, :]
+    bal_x = n[..., 3, :] + n[..., 6, :] + o[..., 7, :] - \
+        n[..., 1, :] - n[..., 5, :] - o[..., 8, :]
+    new4 = o[..., 4, :] - (2.0 / 3.0) * bal_y
+    new7 = o[..., 7, :] - 0.5 * bal_x - bal_y / 6.0
+    # the reference's f8 expression uses f5_old in its balance term
+    bal_y8 = rv + o[..., 7, :] + o[..., 8, :] + o[..., 4, :] - \
+        n[..., 2, :] - o[..., 5, :] - n[..., 6, :]
+    new8 = o[..., 8, :] + 0.5 * bal_x - bal_y8 / 6.0
+    f_new = _set_row(f_new, 4, row, new4, mask)
+    f_new = _set_row(f_new, 7, row, new7, mask)
+    f_new = _set_row(f_new, 8, row, new8, mask)
+    return f_new
+
+
+def chang_pressure_bottom(f_new, f_old, rho_frac_target, row, mask):
+    """Chang et al. 2009 pressure outlet at a bottom-side row
+    (``calPressureBoundaryLowerChangGPU:1222-1265``)."""
+    n = f_new[..., row, :]
+    o = f_old[..., row, :]
+    rt = jnp.where(rho_frac_target != 0, rho_frac_target, 1.0)
+    vy = 1.0 - (n[..., 0, :] + n[..., 1, :] + n[..., 3, :] +
+                2.0 * (n[..., 4, :] + n[..., 7, :] + n[..., 8, :])) / rt
+    rv = rho_frac_target * vy
+    bal_y = rv - o[..., 2, :] + n[..., 4, :] - o[..., 5, :] - \
+        o[..., 6, :] + n[..., 7, :] + n[..., 8, :]
+    bal_x = -n[..., 1, :] + n[..., 3, :] - o[..., 5, :] + o[..., 6, :] + \
+        n[..., 7, :] - n[..., 8, :]
+    new2 = o[..., 2, :] + (2.0 / 3.0) * bal_y
+    new5 = o[..., 5, :] + 0.5 * bal_x + bal_y / 6.0
+    new6 = o[..., 6, :] - 0.5 * bal_x + bal_y / 6.0
+    f_new = _set_row(f_new, 2, row, new2, mask)
+    f_new = _set_row(f_new, 5, row, new5, mask)
+    f_new = _set_row(f_new, 6, row, new6, mask)
+    return f_new
 
 
 def copy_row(f, dst_row, src_row, mask):

@@ -21,7 +21,8 @@ import numpy as np
 from ..lattice import Lattice
 from .common import pull
 
-__all__ = ["upwind_solid_masks", "stream", "stream_and_mask"]
+__all__ = ["upwind_solid_masks", "stream", "stream_and_mask",
+           "stream_moving_wall"]
 
 
 def upwind_solid_masks(lat: Lattice, is_solid: np.ndarray) -> np.ndarray:
@@ -69,3 +70,37 @@ def stream_and_mask(f: jnp.ndarray, lat: Lattice, upwind_solid: jnp.ndarray,
                     fluid_mask: jnp.ndarray) -> jnp.ndarray:
     """Stream and zero out populations on solid voxels."""
     return stream(f, lat, upwind_solid) * fluid_mask
+
+
+def stream_moving_wall(f: jnp.ndarray, lat: Lattice,
+                       upwind_solid: jnp.ndarray, rho: jnp.ndarray,
+                       u_wall) -> jnp.ndarray:
+    """Pull streaming with moving-wall link bounce-back.
+
+    Bounced populations pick up the wall-momentum term
+    -6 w_i rho (e_i . u_wall) (device fn ``calLinkBounceBack`` inside
+    ``calStreaming1withLinkGPU``, ``OptimizedD2Q9GPU.py:1664-1692``: the
+    push form subtracts the term from the reflected opposite slot; in pull
+    form the bounced f_opp(i) at x gains -6 w_opp(i) rho (e_opp(i).u_wall)
+    = +6 w_i rho (e_i . u_wall) for the incoming direction i).
+
+    Args:
+      rho: (..., *spatial) density of the bouncing fluid.
+      u_wall: tuple of wall-velocity components (scalars or fields).
+    """
+    qax = -1 - lat.dim
+    outs = [jnp.take(f, 0, axis=qax)]
+    for i in range(1, lat.q):
+        d = lat.e[i]
+        fi = jnp.take(f, i, axis=qax)
+        io = int(lat.opp[i])
+        fopp = jnp.take(f, io, axis=qax)
+        e_dot_uw = sum(float(lat.e[i, k]) * u_wall[k]
+                       for k in range(lat.dim))
+        bounced = fopp + 6.0 * float(lat.w[i]) * rho * e_dot_uw
+        if lat.dim == 2:
+            pulled = pull(fi, int(d[0]), int(d[1]))
+        else:
+            pulled = pull(fi, int(d[0]), int(d[1]), int(d[2]))
+        outs.append(jnp.where(upwind_solid[i], bounced, pulled))
+    return jnp.stack(outs, axis=qax)

@@ -177,3 +177,67 @@ def test_analytic_sc_contact_angle():
     assert abs(analytic_sc_contact_angle(0.0, 0.0, 3.8, 1.0, 0.02) - 90) < 1e-9
     # g_s1 > g_s0 => cos > 0 => angle < 90 (fluid 0 wets)
     assert analytic_sc_contact_angle(-0.4, 0.4, 3.8, 1.0, 0.02) < 90
+
+
+def test_stream_moving_wall_lid_cavity():
+    """Moving-wall link bounce-back drives a shear flow: a lid moving in +x
+    above a closed cavity sets the adjacent fluid in motion (momentum is
+    injected with the 6 w rho (e.u_wall) term)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from openlbmpm_tpu import geometry as geo
+    from openlbmpm_tpu.lattice import D2Q9
+    from openlbmpm_tpu.ops import equilibrium as eq
+    from openlbmpm_tpu.ops import macroscopic as mac
+    from openlbmpm_tpu.ops.streaming import (stream_moving_wall,
+                                             upwind_solid_masks)
+    n = 24
+    solid = np.zeros((n, n), bool)
+    solid[0, :] = solid[-1, :] = True     # floor + moving lid
+    solid[:, 0] = solid[:, -1] = True
+    g = geo.from_solid_mask(solid)
+    us = jnp.asarray(upwind_solid_masks(D2Q9, g.is_solid))
+    fl = jnp.asarray(g.is_fluid, jnp.float64)
+    rho = jnp.ones((n, n)) * fl
+    z = jnp.zeros((n, n))
+    f = eq.feq_quadratic(D2Q9, rho, (z, z)) * fl
+    # only the lid (top wall) moves: mask the wall velocity to bounced
+    # populations whose upwind solid is the top row
+    u_lid = 0.05
+    yy = jnp.arange(n).reshape(-1, 1)
+    lid_zone = jnp.broadcast_to(yy >= n - 2, (n, n))
+    uxw = jnp.where(lid_zone, u_lid, 0.0)
+    tau = 0.8
+    for _ in range(200):
+        rho = mac.density(f)
+        u = mac.velocity(D2Q9, f, rho)
+        feq = eq.feq_quadratic(D2Q9, rho, u)
+        f = f - (f - feq) / tau
+        f = stream_moving_wall(f, D2Q9, us, rho, (uxw, 0.0 * uxw)) * fl
+    rho = mac.density(f)
+    ux, uy = mac.velocity(D2Q9, f, rho)
+    ux = np.asarray(ux)
+    # fluid under the lid moves with it; bottom stays nearly still
+    assert ux[n - 2, n // 2] > 0.01
+    assert abs(ux[2, n // 2]) < abs(ux[n - 2, n // 2]) * 0.2
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_chang_bcs_consistency():
+    """Chang 2009 corrector BCs: at steady uniform state with matching
+    velocity/density they reproduce the equilibrium row (no-op fixpoint)."""
+    import jax.numpy as jnp
+    from openlbmpm_tpu.lattice import D2Q9
+    from openlbmpm_tpu.ops import boundaries as bc
+    from openlbmpm_tpu.ops import equilibrium as eq
+    nx = 16
+    rho = jnp.ones((4, nx))
+    z = jnp.zeros((4, nx))
+    f = eq.feq_quadratic(D2Q9, rho, (z, z))  # (9, 4, nx) uniform rest state
+    mask = jnp.ones(nx, bool)
+    out = bc.chang_velocity_top(f, f, 0.0, 2, mask)
+    assert float(jnp.max(jnp.abs(out - f))) < 1e-12
+    out = bc.chang_pressure_top(f, f, jnp.ones(nx), 2, mask)
+    assert float(jnp.max(jnp.abs(out - f))) < 1e-12
+    out = bc.chang_pressure_bottom(f, f, jnp.ones(nx), 1, mask)
+    assert float(jnp.max(jnp.abs(out - f))) < 1e-12
