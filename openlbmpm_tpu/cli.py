@@ -48,7 +48,8 @@ def _run_colorgradient(args):
                              save_checkpoint)
     from .config import load_colorgradient
     from .io import ResultWriter, save_png_field
-    from .metrics import MetricsLogger, flow_diagnostics
+    from .metrics import (MetricsLogger, flow_diagnostics,
+                          steady_state_criterion)
     from .models.base import run_chunked
     from .models.colorgradient import ColorGradientRK
 
@@ -91,6 +92,7 @@ def _run_colorgradient(args):
     logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
                            geometry.num_fluid_nodes, echo=True)
     ckpt_every = max(1, 10 * run.io_interval)
+    prev_u = {"u": None}
 
     def callback(step, s):
         step = step * step_scale
@@ -105,6 +107,12 @@ def _run_colorgradient(args):
                              f"phi_{start_step + step:08d}.png"),
                 np.asarray(phi), title=f"phi @ {start_step + step}")
         d = flow_diagnostics(rho_r, rho_b, ux, uy, geometry.is_fluid)
+        # steady-state criterion: relative L2 velocity change between
+        # observations (``ShanChenD2Q9.__calSteadyStateCritiria:831-850``)
+        if prev_u["u"] is not None and step > 0:
+            d["steady_criterion"] = steady_state_criterion(
+                ux, uy, *prev_u["u"])
+        prev_u["u"] = (ux, uy)
         rec = logger.log(start_step + step, **d)
         # checkpointing every interval would dominate the I/O budget;
         # save every ~10 intervals and at the end of the run
@@ -112,6 +120,11 @@ def _run_colorgradient(args):
             save_checkpoint(ckpt_path, s, start_step + step, fingerprint)
         if args.stop_at_breakthrough and d["breakthrough"]:
             print(f"breakthrough at step {rec['step']}")
+            return True
+        if args.stop_at_steady and d.get("steady_criterion") is not None \
+                and d["steady_criterion"] < args.stop_at_steady:
+            print(f"steady state at step {rec['step']} "
+                  f"(criterion {d['steady_criterion']:.2e})")
             return True
         return False
 
@@ -288,6 +301,9 @@ def main(argv=None) -> int:
         sp.add_argument("--resume", action="store_true",
                         help="resume from <output>/checkpoint.npz")
         sp.add_argument("--stop-at-breakthrough", action="store_true")
+        sp.add_argument("--stop-at-steady", type=float, default=0.0,
+                        help="stop when the relative L2 velocity change "
+                             "between outputs drops below this tolerance")
 
     runp = sub.add_parser("run", help="run a simulation")
     common(runp)

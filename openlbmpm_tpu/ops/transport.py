@@ -34,7 +34,7 @@ __all__ = [
     "transport_domain_mask", "interface_partition", "interface_bounce_back",
     "bilinear_reaction", "inamuro_inlet", "anti_bounce_back_inlet",
     "zero_concentration_inlet", "free_flow_outlet",
-    "renormalize_concentration",
+    "redistribute_on_interface_motion", "renormalize_concentration",
 ]
 
 _EPS = 1.0e-8
@@ -216,6 +216,78 @@ def free_flow_outlet(g, rows, mask_rows):
         cur = g[:, :, row, :]
         g = g.at[:, :, row, :].set(jnp.where(m, src, cur))
     return g
+
+
+def redistribute_on_interface_motion(g, in_domain_new, in_domain_old,
+                                     j_coeffs: np.ndarray, lat: Lattice):
+    """Concentration repair when the phase interface moves
+    (``calUpdateConcOnNewNodesGPU:216-239``, ``calUpdateConcOnOldNodesGPU:
+    245-257``, ``calUpdatedPDFWithNewRho:389-414`` semantics, mask-based):
+
+    - nodes that LEFT the transport domain hand their concentration to
+      adjacent in-domain nodes (equal split over the available neighbors);
+    - nodes that ENTERED the domain are initialized from the average
+      concentration of their old-domain neighbors, with the borrowed mass
+      deducted from those donors (the reference repairs the imbalance with
+      a separate renormalization pass; here the exchange itself conserves).
+
+    Total tracer mass is conserved exactly as long as every exited node has
+    at least one in-domain neighbor and every entered node a donor.
+
+    Args:
+      g: (T, Q, ny, nx) tracer PDFs; in_domain_new/old: (ny, nx) bool.
+    Returns the repaired g.
+    """
+    dtype = g.dtype
+    conc = jnp.sum(g, axis=1)
+    exited = jnp.logical_and(in_domain_old, ~in_domain_new)
+    entered = jnp.logical_and(in_domain_new, ~in_domain_old)
+    dom_new_f = in_domain_new.astype(dtype)
+    dom_old_f = in_domain_old.astype(dtype)
+
+    # exits: equal split over new-domain neighbors
+    nbr_new = jnp.zeros_like(dom_new_f)
+    for i in range(1, lat.q):
+        dx, dy = int(lat.e[i, 0]), int(lat.e[i, 1])
+        nbr_new = nbr_new + shift(dom_new_f, dx, dy)
+    share = jnp.where(jnp.logical_and(exited, nbr_new > 0),
+                      conc / jnp.where(nbr_new > 0, nbr_new, 1.0), 0.0)
+    received = jnp.zeros_like(conc)
+    for i in range(1, lat.q):
+        dx, dy = int(lat.e[i, 0]), int(lat.e[i, 1])
+        received = received + shift(share, dx, dy)
+    received = received * dom_new_f
+
+    # entries: borrow the average donor concentration, deduct from donors
+    # (donors = nodes staying in the domain; exited nodes already gave
+    # everything away above)
+    remain_f = dom_old_f * dom_new_f
+    nbr_old = jnp.zeros_like(dom_old_f)
+    donor_sum = jnp.zeros_like(conc)
+    for i in range(1, lat.q):
+        dx, dy = int(lat.e[i, 0]), int(lat.e[i, 1])
+        nbr_old = nbr_old + shift(remain_f, dx, dy)
+        donor_sum = donor_sum + shift(conc * remain_f, dx, dy)
+    n_don = jnp.where(nbr_old > 0, nbr_old, 1.0)
+    borrowed = jnp.where(jnp.logical_and(entered, nbr_old > 0)[None],
+                         donor_sum / n_don, 0.0)
+    per_donor = borrowed / n_don
+    deduction = jnp.zeros_like(conc)
+    for i in range(1, lat.q):
+        dx, dy = int(lat.e[i, 0]), int(lat.e[i, 1])
+        deduction = deduction + shift(per_donor, -dx, -dy)
+    deduction = deduction * remain_f
+
+    conc_new = jnp.where(in_domain_new[None],
+                         conc + received + borrowed - deduction, 0.0)
+    j = jnp.asarray(j_coeffs, dtype)[:, :, None, None]
+    geq = conc_new[:, None] * j
+    out = jnp.where(exited[None, None], 0.0, g)
+    out = jnp.where(entered[None, None], geq, out)
+    delta = (received + borrowed - deduction)[:, None] * j
+    interior = jnp.logical_and(in_domain_new, ~entered)
+    out = jnp.where(interior[None, None], out + delta, out)
+    return out
 
 
 def renormalize_concentration(g, conc, mass0, in_domain, u_norm_sq,

@@ -190,3 +190,28 @@ def test_d2q5_mrt_quadratic_equilibrium():
     vx1, _ = _second_moments(conc)
     d_meas = (vx1 - vx0) / (2 * steps)
     assert abs(d_meas - 0.1) / 0.1 < 0.05, d_meas
+
+
+def test_redistribute_on_interface_motion():
+    """Interface motion repair: exited nodes hand mass to in-domain
+    neighbors, entered nodes start at the J-equilibrium; total conserved."""
+    from openlbmpm_tpu.lattice import D2Q5
+    from openlbmpm_tpu.ops import transport as tr
+    n = 16
+    jc = tr.j_coefficients(np.array([1 / 3]))
+    yy = np.mgrid[0:n, 0:n][0]
+    dom_old = jnp.asarray(yy < 8)
+    dom_new = jnp.asarray(yy < 7)   # interface moved down: row 7 exited
+    conc0 = np.zeros((1, n, n))
+    conc0[0, :8, :] = 1.0
+    g = jnp.asarray(conc0)[:, None] * jnp.asarray(jc)[:, :, None, None]
+    total0 = float(jnp.sum(g))
+    g2 = tr.redistribute_on_interface_motion(g, dom_new, dom_old, jc, D2Q5)
+    conc2 = np.asarray(jnp.sum(g2, axis=1))[0]
+    assert abs(float(jnp.sum(g2)) - total0) / total0 < 1e-12
+    assert conc2[7].sum() == 0.0                 # exited row cleared
+    assert conc2[6].mean() > 1.5                 # neighbors absorbed it
+    # reverse motion: row 7 re-enters, initialized from received mass
+    g3 = tr.redistribute_on_interface_motion(g2, dom_old, dom_new, jc, D2Q5)
+    assert abs(float(jnp.sum(g3)) - total0) / total0 < 1e-12
+    assert np.asarray(jnp.sum(g3, axis=1))[0, 7].mean() > 0
