@@ -266,7 +266,7 @@ class ColorGradientRK3D:
     """
 
     def __init__(self, geometry: Geometry, params: ColorGradientParams3D,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas: bool | str = "auto"):
         self.lat = D3Q19
         self.geo = geometry
         self.p = params
@@ -286,7 +286,32 @@ class ColorGradientRK3D:
         # cosine flips (see models/colorgradient.py).
         theta = math.radians(params.contact_angle_deg)
         self.cos_t, self.sin_t = -math.cos(theta), math.sin(theta)
+        self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+
+    def _build_fused(self, use_pallas):
+        """Fused D3Q19 Pallas step (TPU; periodic domains)."""
+        if not use_pallas:
+            return None
+        if use_pallas == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
+        from ..pallas.cg3d import build_cg3d_fused_step
+        return build_cg3d_fused_step(
+            self.geo, self.p, self.dtype,
+            interpret=(use_pallas == "interpret"))
+
+    def make_block_step(self, steps_per_call: int = 2,
+                        slabs_per_block: int | None = None,
+                        interpret: bool = False):
+        from ..pallas.cg3d import build_cg3d_fused_step
+        return build_cg3d_fused_step(
+            self.geo, self.p, self.dtype, slabs_per_block,
+            steps_per_call=steps_per_call, interpret=interpret)
 
     def init_state_droplet(self, rho_r=1.0, rho_b=1.0, center=None,
                            radius: float = 8.0, background: float = 0.0):
@@ -337,6 +362,8 @@ class ColorGradientRK3D:
         return rho_r, rho_b, phi, g, force
 
     def _step_impl(self, f_r, f_b):
+        if self._fused is not None:
+            return self._fused(f_r, f_b)
         rho_r, rho_b, phi, g, force = self.color_force_fields(f_r, f_b)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)
