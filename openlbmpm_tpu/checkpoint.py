@@ -85,6 +85,8 @@ def di_cycle_swap(f_r, f_b, buffer_rows: int, top: bool = True):
       top: True when the inlet (invasion side) is the top of the domain.
     """
     import jax.numpy as jnp
+    f_r = jnp.asarray(f_r)
+    f_b = jnp.asarray(f_b)
     ny = f_r.shape[-2]
     if top:
         sl = slice(ny - buffer_rows, ny)
@@ -93,3 +95,19 @@ def di_cycle_swap(f_r, f_b, buffer_rows: int, top: bool = True):
     new_r = f_r.at[..., sl, :].set(f_b[..., sl, :])
     new_b = f_b.at[..., sl, :].set(f_r[..., sl, :])
     return new_r, new_b
+
+
+def di_cycle_swap_sc(f, buffer_rows: int, top: bool = True):
+    """Shan-Chen variant of the D-I cycle swap: exchange fluid 0 and fluid 1
+    inside the buffer rows of the stacked state f (K, 9, ny, nx)
+    (``ShanChenD2Q9.py:788-817``: the restart re-seeds the last rows with
+    the invading fluid)."""
+    import jax.numpy as jnp
+    f = jnp.asarray(f)
+    ny = f.shape[-2]
+    sl = slice(ny - buffer_rows, ny) if top else slice(0, buffer_rows)
+    f0 = f[0, :, sl, :]
+    f1 = f[1, :, sl, :]
+    f = f.at[0, :, sl, :].set(f1)
+    f = f.at[1, :, sl, :].set(f0)
+    return f

@@ -139,6 +139,8 @@ def _run_colorgradient(args):
 def _run_shanchen(args):
     import jax.numpy as jnp
 
+    from .checkpoint import (config_fingerprint, di_cycle_swap_sc,
+                             load_checkpoint, save_checkpoint)
     from .config import load_shanchen
     from .io import ResultWriter
     from .metrics import MetricsLogger, flow_diagnostics
@@ -151,24 +153,39 @@ def _run_shanchen(args):
         run = dataclasses.replace(run, num_steps=args.steps)
     geometry = _build_geometry(domain, geometry_kind="channel")
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-    model = ShanChenMCMP(geometry, params, bcs, dtype=dtype)
+    model = ShanChenMCMP(geometry, params, bcs, dtype=dtype,
+                         use_pallas=not args.no_pallas)
     state = model.init_state_layers(
         extras.get("initial_densities", (1.0, 1.0)),
         extras.get("background_densities", (0.02, 0.02)))
+    fingerprint = config_fingerprint(params)
+    start_step = 0
+    ckpt_path = os.path.join(args.output, "checkpoint.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_step = load_checkpoint(ckpt_path, state, fingerprint)
+        print(f"resumed from step {start_step}")
+        if run.is_cycle:
+            state = di_cycle_swap_sc(state, buffer_rows=10)
+            print("D-I cycle: fluids swapped in the buffer layers")
     writer = ResultWriter(args.output, basename="SimulationResults")
     logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
                            geometry.num_fluid_nodes, echo=True)
+    ckpt_every = max(1, 10 * run.io_interval)
 
     def callback(step, f):
         rho_k, (ux, uy) = model.macro(f)
-        writer.write_sc(step, np.asarray(rho_k), np.asarray(ux),
-                        np.asarray(uy))
-        logger.log(step, **flow_diagnostics(rho_k[0], rho_k[1], ux, uy,
-                                            geometry.is_fluid))
+        writer.write_sc(start_step + step, np.asarray(rho_k),
+                        np.asarray(ux), np.asarray(uy))
+        logger.log(start_step + step,
+                   **flow_diagnostics(rho_k[0], rho_k[1], ux, uy,
+                                      geometry.is_fluid))
+        if step % ckpt_every == 0 or step >= run.num_steps:
+            save_checkpoint(ckpt_path, f, start_step + step, fingerprint)
         return False
 
     run_chunked(model.step, state, num_steps=run.num_steps,
-                io_interval=run.io_interval, callback=callback)
+                io_interval=run.io_interval, callback=callback,
+                nan_guard=True)
     logger.close()
     return 0
 

@@ -96,10 +96,12 @@ def stencil_weighted_grad(field: jnp.ndarray, st: IsoStencil):
     gy = jnp.zeros_like(field)
     for (dx, dy), w in zip(st.offsets, st.weights):
         s = shift(field, int(dx), int(dy))
+        # float(w): np.float64 scalars are strongly typed and would promote
+        # f32 fields to f64 under jax_enable_x64
         if dx:
-            gx = gx + (w * float(dx)) * s
+            gx = gx + (float(w) * float(dx)) * s
         if dy:
-            gy = gy + (w * float(dy)) * s
+            gy = gy + (float(w) * float(dy)) * s
     return gx, gy
 
 

@@ -183,3 +183,42 @@ def test_nan_guard_raises_on_divergence():
     with pytest.raises(FloatingPointError, match="non-finite"):
         run_chunked(bad_step, jnp.ones((4, 4)), num_steps=4, io_interval=2,
                     nan_guard=True, donate=False)
+
+
+def test_cli_run_sc_with_resume(tmp_path):
+    """SC CLI: run, checkpoint, resume with D-I cycle swap."""
+    main_cfg = str(tmp_path / "main.ini")
+    phys_cfg = str(tmp_path / "phys.ini")
+    txt = open(os.path.join(CONFIGS, "twophasesetup.ini")).read()
+    txt = txt.replace("xGrid = 64", "xGrid = 24")
+    txt = txt.replace("yGrid = 200", "yGrid = 48")
+    open(main_cfg, "w").write(txt)
+    ptxt = open(os.path.join(CONFIGS, "shanchen2D.ini")).read()
+    ptxt = ptxt.replace("numberTimeStep = 10000", "numberTimeStep = 20")
+    open(phys_cfg, "w").write(ptxt)
+    out = str(tmp_path / "out")
+    rc = cli_main(["run", main_cfg, "--model", "sc",
+                   "--physics-config", phys_cfg, "--output", out,
+                   "--no-pallas"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "checkpoint.npz"))
+    # resume with cycles on (swaps fluids in the buffer rows)
+    txt2 = txt.replace("[DICycles]\nOption = 'no'",
+                       "[DICycles]\nOption = 'yes'")
+    open(main_cfg, "w").write(txt2)
+    rc2 = cli_main(["run", main_cfg, "--model", "sc",
+                    "--physics-config", phys_cfg, "--output", out,
+                    "--no-pallas", "--resume", "--steps", "10"])
+    assert rc2 == 0
+
+
+def test_di_cycle_swap_sc():
+    from openlbmpm_tpu.checkpoint import di_cycle_swap_sc
+    f = jnp.zeros((2, 9, 8, 4))
+    f = f.at[0, :, 6:, :].set(1.0)
+    f = f.at[1, :, :6, :].set(2.0)
+    out = di_cycle_swap_sc(f, buffer_rows=2, top=True)
+    assert float(jnp.sum(out[0, :, 6:, :])) == 0.0   # fluid 0 left buffer
+    assert float(jnp.sum(out[1, :, 6:, :])) == 9 * 2 * 4  # fluid 1 took it
+    np.testing.assert_array_equal(np.asarray(out[:, :, :6]),
+                                  np.asarray(f[:, :, :6]))
