@@ -44,7 +44,8 @@ from ..ops.forcing import guo_source
 from ..ops.streaming import stream, upwind_solid_masks
 
 __all__ = ["SinglePhaseD3Q19", "ShanChenParams3D", "ShanChenMCMP3D",
-           "ColorGradientParams3D", "ColorGradientRK3D", "TransportD3Q7"]
+           "ColorGradientParams3D", "ColorGradientRK3D", "TransportD3Q7",
+           "TransportRK3D"]
 
 
 def _density3(f):
@@ -469,3 +470,45 @@ class TransportD3Q7:
         if u is None and rho_r is None:
             return self._step(g)
         return self._step_impl(g, u, rho_r)
+
+
+class TransportRK3D:
+    """Coupled 3D flow + phase-confined tracer transport: one step advances
+    the D3Q19 CSF flow and a D3Q7 tracer field seeing the flow's velocity
+    and red density (the 3D sibling of ``TransportRK``; the reference
+    promises 3D transport but ships none, ``main.py:72-81``).
+
+    State: (f_r, f_b, g) with g (T, 7, nz, ny, nx).
+    """
+
+    def __init__(self, geometry: Geometry, flow_params: ColorGradientParams3D,
+                 num_tracers: int = 1, tau=(1.0,), j0=(0.25,),
+                 criteria: float = 0.5, interface_mode: str = "bounceback",
+                 dtype=jnp.float32):
+        self.flow = ColorGradientRK3D(geometry, flow_params, dtype=dtype,
+                                      use_pallas=False)
+        self.transport = TransportD3Q7(geometry, num_tracers, tau, j0,
+                                       criteria, interface_mode, dtype)
+        self.geo = geometry
+        self._step = jax.jit(self._step_impl, donate_argnums=0)
+
+    def init_state(self, flow_state, conc0):
+        return (*flow_state, self.transport.init_state(conc0))
+
+    def concentration(self, g):
+        return self.transport.concentration(g)
+
+    def _step_impl(self, state):
+        f_r, f_b, g = state
+        rho_r, rho_b, phi, grad, force = \
+            self.flow.color_force_fields(f_r, f_b)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        mom = mac.momentum(self.flow.lat, f_r + f_b)
+        u = tuple((mom[d] + 0.5 * force[d]) / rho_safe for d in range(3))
+        g = self.transport._step_impl(g, u, rho_r)
+        f_r, f_b = self.flow._step_impl(f_r, f_b)
+        return (f_r, f_b, g)
+
+    def step(self, state):
+        return self._step(state)

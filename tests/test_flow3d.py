@@ -148,3 +148,27 @@ def test_d3q7_interface_confinement():
     leak = conc[np.asarray(rho_r) > 0.5].sum() / total0
     assert leak < 1e-10, leak
     assert abs(conc.sum() - total0) / total0 < 1e-12
+
+
+def test_coupled_3d_flow_transport():
+    """Coupled 3D: tracer stays confined to the blue phase while the CSF
+    flow advances; masses conserved."""
+    from openlbmpm_tpu.models.flow3d import TransportRK3D
+    n = 20
+    params = ColorGradientParams3D(surface_tension=0.005)
+    m = TransportRK3D(geo.from_solid_mask(np.zeros((n, n, n), bool)),
+                      params, num_tracers=1, tau=(1.0,), j0=(0.25,),
+                      interface_mode="bounceback", dtype=jnp.float64)
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_slabs=n // 2)
+    conc0 = np.zeros((1, n, n, n))
+    conc0[0, 2:6] = 1.0  # pulse deep in the blue phase
+    state = m.init_state(fs, conc0)
+    total0 = float(np.asarray(m.concentration(state[2])).sum())
+    m_r0 = float(jnp.sum(state[0]))
+    state = run_chunked(m.step, state, num_steps=100, io_interval=100)
+    conc = np.asarray(m.concentration(state[2]))[0]
+    rho_r = np.asarray(jnp.sum(state[0], axis=0))
+    leak = conc[rho_r > 0.5].sum() / total0
+    assert leak < 1e-10, leak
+    assert abs(conc.sum() - total0) / total0 < 1e-12
+    assert abs(float(jnp.sum(state[0])) - m_r0) / m_r0 < 1e-12

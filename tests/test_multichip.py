@@ -102,3 +102,26 @@ def test_sharded_2d_mesh():
         state = step(*state)
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(state[0]),
                                rtol=0, atol=1e-12)
+
+
+def test_cg3d_sharded_equals_single():
+    """3D model sharded over an 8-device x-mesh == single device."""
+    from openlbmpm_tpu.models.flow3d import (ColorGradientParams3D,
+                                             ColorGradientRK3D)
+    nz, ny, nx = 16, 16, 32
+    params = ColorGradientParams3D(surface_tension=0.005)
+    m = ColorGradientRK3D(geo.from_solid_mask(np.zeros((nz, ny, nx), bool)),
+                          params, dtype=jnp.float64, use_pallas=False)
+    state0 = m.init_state_droplet(1.0, 1.0, radius=5.0)
+    ref = state0
+    for _ in range(10):
+        ref = m._step_impl(*ref)
+    mesh = make_mesh(8)
+    state = shard_domain(state0, mesh)
+    shard = domain_sharding(mesh, 4)
+    step = jax.jit(m._step_impl, in_shardings=(shard, shard),
+                   out_shardings=(shard, shard))
+    for _ in range(10):
+        state = step(*state)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(state[0]),
+                               rtol=0, atol=1e-12)
