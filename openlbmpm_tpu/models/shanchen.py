@@ -206,10 +206,18 @@ class ShanChenMCMP:
     # -- original Shan-Chen step ---------------------------------------
     def _step_sc(self, f):
         f = self._apply_inlet(f)
+        f_old = f  # pre-collision PDFs (``savePDFLastStep:70-78``)
         rho_k = mac.density(f)
         rho_safe = jnp.where(rho_k > 0, rho_k, 1.0)
         upx, upy = mac.sc_common_velocity(self.lat, f, rho_k, self.tau)
         fx, fy = self._force(rho_k)
+        vy_out = None
+        if self.bcs.outlet == "convective_true":
+            # |v_y| of the node row above the outlet layers, from the
+            # physical velocity (``convectiveOutletEachGPU:1044-1063``)
+            my = mac.momentum(self.lat, f)[1]
+            vy_out = jnp.sum(my + 0.5 * fy, axis=0)[3] / \
+                jnp.sum(rho_safe, axis=0)[3]
         # per-fluid equilibrium velocity u_eq = u' + tau F / rho
         tau_b = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1)
         ueq_x = upx[None] + tau_b * fx / rho_safe
@@ -218,7 +226,7 @@ class ShanChenMCMP:
         tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
         f = f - (f - feq) / tau_q
         f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
-        f = self._apply_outlet(f, None)
+        f = self._apply_outlet(f, f_old, vy_out)
         return f
 
     # -- explicit forcing scheme step ------------------------------------
@@ -272,7 +280,7 @@ class ShanChenMCMP:
             f = bc.copy_row(f, ny - 1, ny - 2, self._row_masks[ny - 1])
         return f
 
-    def _apply_outlet(self, f, f_old):
+    def _apply_outlet(self, f, f_old, vy_out=None):
         if self.bcs.outlet == "zou_he_pressure":
             rho_t = jnp.asarray(self.bcs.outlet_density,
                                 self.dtype).reshape(-1, 1)
@@ -281,6 +289,10 @@ class ShanChenMCMP:
         elif self.bcs.outlet == "convective":
             f = bc.copy_rows_from_above(
                 f, (2, 1, 0),
+                (self._row_masks[2], self._row_masks[1], self._row_masks[0]))
+        elif self.bcs.outlet == "convective_true" and f_old is not None:
+            f = bc.convective_outlet_rows(
+                f, f_old, vy_out, (2, 1, 0),
                 (self._row_masks[2], self._row_masks[1], self._row_masks[0]))
         return f
 

@@ -112,3 +112,26 @@ def test_sc_adhesion_contact_angle_direction():
         drop = np.asarray(rho_k[0]) > 0.5
         widths[label] = drop[2, :].sum()
     assert widths["wetting"] > widths["nonwetting"]
+
+
+def test_sc_true_convective_outlet():
+    """True convective outlet f = (f_old + |v| f_up)/(1 + |v|) stays stable
+    and passes the invading front out of the domain
+    (``convectiveOutletEachGPU:1044-1063``)."""
+    ny, nx = 64, 24
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = SCBoundaryConfig(inlet="zou_he_velocity",
+                           outlet="convective_true",
+                           inlet_velocity=(-2e-3, 0.0))
+    params = _two_fluid_params("SC", g_solid=(-0.3, 0.3))
+    model = ShanChenMCMP(geo.from_solid_mask(solid), params, bcs,
+                         dtype=jnp.float64)
+    assert model._fused is None  # jnp path carries the pre-step PDFs
+    f = model.init_state_layers((1.0, 1.0), (0.02, 0.02), invading_rows=12)
+    f = run_chunked(model.step, f, num_steps=800, io_interval=400)
+    rho_k, (ux, uy) = model.macro(f)
+    assert np.isfinite(np.asarray(rho_k)).all()
+    # the invading fluid front has advanced downward
+    r0 = np.asarray(rho_k[0])
+    assert (r0[:40] > 0.5).any() or r0[40:].mean() > 0.3
