@@ -57,7 +57,7 @@ def main():
     # warmup + compile with the SAME call count as the timed run: each
     # distinct static n compiles a separate executable, so warming with a
     # different n would leave the timed call paying a full compile.
-    n_steps = 200
+    n_steps = 600  # ~0.4 s timed region: stable against tunnel jitter
     n_calls = n_steps // t_block
     f_r, f_b = run(n_calls, f_r, f_b)
     jax.block_until_ready((f_r, f_b))
