@@ -326,8 +326,18 @@ def main(argv=None) -> int:
     common(runp)
     insp = sub.add_parser("inspect", help="print resolved parameters")
     common(insp)
+    sub.add_parser("bench", help="flagship MLUPS benchmark (bench.py)")
 
     args = p.parse_args(argv)
+    if args.cmd == "bench":
+        import importlib.util
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py")
+        spec = importlib.util.spec_from_file_location("bench", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
     if args.cmd == "inspect":
         return _inspect(args)
     os.makedirs(args.output, exist_ok=True)

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import Geometry
 from ..lattice import D2Q9
-from .csf import _rollx, _rolly, _sh
+from .csf import _rolly, _sh
 
 __all__ = ["build_sc_fused_step"]
 

@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from openlbmpm_tpu import geometry as geo
-from openlbmpm_tpu.models.base import run_chunked
 from openlbmpm_tpu.models.colorgradient import (
     CGBoundaryConfig, ColorGradientParams, ColorGradientRK)
 from openlbmpm_tpu.models.shanchen import ShanChenMCMP, ShanChenParams

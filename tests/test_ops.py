@@ -1,6 +1,5 @@
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from openlbmpm_tpu.lattice import D2Q5, D2Q9
 from openlbmpm_tpu.ops import collision as col

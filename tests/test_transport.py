@@ -4,11 +4,10 @@ mass conservation, anisotropic MRT diffusion, phase confinement
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from openlbmpm_tpu import geometry as geo
 from openlbmpm_tpu.models.base import run_chunked
-from openlbmpm_tpu.models.colorgradient import CGBoundaryConfig, ColorGradientParams
+from openlbmpm_tpu.models.colorgradient import ColorGradientParams
 from openlbmpm_tpu.models.transport import TransportParams, TransportRK
 
 
