@@ -70,7 +70,7 @@ def _halo_rows(steps_per_call: int, variant: str = "CSF",
 
 
 def pick_rows_per_block(ny: int, nx: int, steps_per_call: int = 1,
-                        target_vmem_mb: float = 48.0,
+                        target_vmem_mb: float = 32.0,
                         variant: str = "CSF") -> int:
     """Largest R dividing ny, multiple of H, under the VMEM budget (rough
     model: ~60 f32 planes of (R + 2H, nx))."""
