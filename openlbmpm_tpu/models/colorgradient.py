@@ -136,9 +136,11 @@ class ColorGradientRK:
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
                            for r in (0, 1, 2, ny - 1, ny - 2)}
         self._fused = self._build_fused(use_pallas)
+        self._fused_c = self._build_fused(use_pallas, compressed=True)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+        self._step_c = jax.jit(self._step_impl_c, donate_argnums=(0,))
 
-    def _build_fused(self, use_pallas):
+    def _build_fused(self, use_pallas, compressed: bool = False):
         """Fused Pallas collide-and-stream step (TPU only; the jnp path stays
         for CPU tests, interpret-mode checks, and sharded meshes)."""
         if not use_pallas:
@@ -155,20 +157,25 @@ class ColorGradientRK:
         from ..pallas.csf import build_csf_fused_step
         return build_csf_fused_step(
             self.geo, self.p, self.dtype,
+            state_mode="compressed" if compressed else "split",
             interpret=(use_pallas == "interpret"))
 
     def make_block_step(self, steps_per_call: int = 2,
                         rows_per_block: int | None = None,
+                        compressed: bool = False,
                         interpret: bool = False):
         """Temporally-blocked fused step: advances `steps_per_call` time
         steps per call with boundary rows applied in-kernel between
         sub-steps.  HBM traffic per step drops ~steps_per_call-x on
-        DMA-bound domains.  Returns None when the domain does not
+        DMA-bound domains.  With ``compressed`` the step maps the 10-plane
+        packed state ``s -> s'`` (see ``pack_state``), a further ~1.8x
+        traffic cut.  Returns None when the domain does not
         strip-decompose."""
         from ..pallas.csf import build_csf_fused_step
         return build_csf_fused_step(
             self.geo, self.p, self.dtype, rows_per_block,
             steps_per_call=steps_per_call, bc_config=self.bcs,
+            state_mode="compressed" if compressed else "split",
             interpret=interpret)
 
     # -- initial conditions ----------------------------------------------
@@ -241,6 +248,11 @@ class ColorGradientRK:
         """phi, gradient (with wetting), and the CSF force, from PDFs."""
         rho_r = mac.density(f_r)
         rho_b = mac.density(f_b)
+        return (rho_r, rho_b) + self.color_force_fields_from_rho(rho_r, rho_b)
+
+    def color_force_fields_from_rho(self, rho_r, rho_b):
+        """phi, wetted gradient, CSF force from the color densities alone
+        (shared by the split and compressed state layouts)."""
         phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
         phi_ext = cg.solid_phi_extrapolate(phi, self.is_fluid) \
             if self.has_wetting else phi
@@ -260,7 +272,124 @@ class ColorGradientRK:
             fy = fy + bfy * rho
         fx = fx * self.fluid_mask
         fy = fy * self.fluid_mask
-        return rho_r, rho_b, phi, gx, gy, fx, fy
+        return phi, gx, gy, fx, fy
+
+    # -- compressed state (f_total, rho_r) ----------------------------------
+    def pack_state(self, f_r, f_b):
+        """(f_r, f_b) -> packed (10, ny, nx) state: planes 0-8 the total
+        PDF, plane 9 the red density.  The collision runs on the total PDF
+        and recoloring needs only rho_r, so this layout carries 10 HBM
+        planes per step instead of 18 (the exact per-color split is not
+        retained — rho_r at t+1 is the streamed sum of the recolored red
+        populations, reconstructed inside the step)."""
+        return jnp.concatenate([f_r + f_b, mac.density(f_r)[None]], axis=0)
+
+    def rho_fields_c(self, s):
+        rho = mac.density(s[:9])
+        rho_r = s[9]
+        return rho_r, rho - rho_r, rho
+
+    def _apply_bcs_c(self, s):
+        ny = self.geo.ny
+        m = self._row_masks
+        if self.bcs.inlet == "neumann":
+            s = bc.total_velocity_inlet_top_c(
+                s, self.bcs.inlet_velocity, ny - 2, m[ny - 2])
+            s = bc.copy_row(s, ny - 1, ny - 2, m[ny - 1])
+        elif self.bcs.inlet == "dirichlet":
+            rho_t = self.bcs.inlet_density_r + self.bcs.inlet_density_b
+            s = bc.zou_he_pressure_top_total_c(s, rho_t, ny - 2, m[ny - 2])
+            s = bc.copy_row(s, ny - 1, ny - 2, m[ny - 1])
+        if self.bcs.outlet == "convective":
+            s = bc.copy_rows_from_above(s, (2, 1, 0), (m[2], m[1], m[0]))
+        elif self.bcs.outlet == "dirichlet":
+            rho_t = self.bcs.outlet_density_r + self.bcs.outlet_density_b
+            s = bc.total_pressure_outlet_bottom_c(s, rho_t, 1, m[1])
+            s = bc.copy_row(s, 0, 1, m[0])
+        return s
+
+    def _step_csf_c(self, s):
+        s = self._apply_bcs_c(s)
+        if self._fused_c is not None:
+            return self._fused_c(s)
+        rho_r, rho_b, rho = self.rho_fields_c(s)
+        phi, gx, gy, fx, fy = self.color_force_fields_from_rho(rho_r, rho_b)
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        f_tot = s[:9]
+        mx, my = mac.momentum(self.lat, f_tot)
+        ux = (mx + 0.5 * fx) / rho_safe
+        uy = (my + 0.5 * fy) / rho_safe
+        tau = cg.tau_interp_csf(phi, rho_r, rho_b, self.p.tau_r, self.p.tau_b,
+                                self.p.delta, self.p.tau_type)
+        feq_tot = eq.feq_quadratic(self.lat, rho, (ux, uy))
+        src = guo_source(self.lat, (ux, uy), (fx, fy))
+        if self.p.collision == "SRT":
+            f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
+            f_tot = f_tot + (1.0 - 0.5 / tau)[None] * src
+        else:
+            inv_tau = 1.0 / tau
+            f_tot = col.mrt_variable_nu(f_tot, feq_tot, self.lat, self._mrt_s,
+                                        inv_tau)
+            f_tot = f_tot + col.mrt_force_transform_variable(
+                src, self.lat, self._mrt_s, inv_tau)
+        f_r_post, _ = cg.recolor_lkr(f_tot, rho_r, rho_b, gx, gy, self.p.beta,
+                                     self.lat)
+        f_tot = stream(f_tot, self.lat, self.upwind_solid) * self.fluid_mask
+        rho_r_new = mac.density(
+            stream(f_r_post, self.lat, self.upwind_solid)) * self.fluid_mask
+        return jnp.concatenate([f_tot, rho_r_new[None]], axis=0)
+
+    def _step_pert_c(self, s):
+        """Compressed Perturbation step: the per-color BGK collision with a
+        shared tau(phi) is linear in the PDFs, so the total update needs
+        only (rho_r, rho_b)."""
+        s = self._apply_bcs_c(s)
+        if self._fused_c is not None:
+            return self._fused_c(s)
+        rho_r, rho_b, rho = self.rho_fields_c(s)
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
+        f_tot = s[:9]
+        mx, my = mac.momentum(self.lat, f_tot)
+        ux = mx / rho_safe
+        uy = my / rho_safe
+        tau = cg.tau_interp_grunau(phi, self.p.tau_r, self.p.tau_b,
+                                   self.p.delta)
+        feq_tot = eq.feq_rk_original(self.lat, rho_r, (ux, uy),
+                                     self.const_cr) + \
+            eq.feq_rk_original(self.lat, rho_b, (ux, uy), self.const_cb)
+        f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
+        gx, gy = self._pert_gradient(rho_r, rho_b)
+        f_tot = f_tot + cg.perturbation(
+            gx, gy, self.p.a_kr + self.p.a_kb, cg.B_CONSTANTS, self.lat)
+        f_r_post, _ = cg.recolor_rk_original(
+            f_tot, rho_r, rho_b, gx, gy, self.p.beta,
+            self.const_cr, self.const_cb, self.lat)
+        f_tot = stream(f_tot, self.lat, self.upwind_solid) * self.fluid_mask
+        rho_r_new = mac.density(
+            stream(f_r_post, self.lat, self.upwind_solid)) * self.fluid_mask
+        return jnp.concatenate([f_tot, rho_r_new[None]], axis=0)
+
+    def _step_impl_c(self, s):
+        if self.bcs.outlet == "modified_periodic":
+            raise NotImplementedError(
+                "modified_periodic seam swap needs the split state")
+        if self.p.variant == "CSF":
+            return self._step_csf_c(s)
+        return self._step_pert_c(s)
+
+    def step_c(self, s):
+        return self._step_c(s)
+
+    def macro_c(self, s):
+        """Diagnostics from the compressed state."""
+        rho_r, rho_b, rho = self.rho_fields_c(s)
+        phi, gx, gy, fx, fy = self.color_force_fields_from_rho(rho_r, rho_b)
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        mx, my = mac.momentum(self.lat, s[:9])
+        ux = (mx + 0.5 * fx) / rho_safe
+        uy = (my + 0.5 * fy) / rho_safe
+        return rho_r, rho_b, phi, (ux, uy)
 
     # -- CSF step ---------------------------------------------------------
     def _step_csf(self, f_r, f_b):

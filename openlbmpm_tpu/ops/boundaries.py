@@ -39,6 +39,8 @@ __all__ = [
     "chang_velocity_top", "chang_pressure_top", "chang_pressure_bottom",
     "copy_row", "copy_rows_from_above", "convective_outlet_rows",
     "modified_periodic_color_swap",
+    "total_velocity_inlet_top_c", "total_pressure_outlet_bottom_c",
+    "zou_he_pressure_top_total_c",
 ]
 
 
@@ -162,6 +164,67 @@ def total_pressure_outlet_bottom(f_r, f_b, rho_target, row, mask):
         f_r = _set_row(f_r, i, row, ratio_r * val, mask)
         f_b = _set_row(f_b, i, row, ratio_b * val, mask)
     return f_r, f_b
+
+
+def _update_rows_c(s, row, news, mask):
+    """Apply total-PDF row replacements to a compressed state
+    s = (10, ny, nx) [planes 0-8 = f_total, plane 9 = rho_r], adjusting
+    rho_r by the local density ratio (the per-direction color split on a BC
+    row is reconstructed as ratio_r * f_total — exact when the row is
+    single-phase, which the reference's buffer-layer init guarantees)."""
+    ft = s[..., row, :]
+    rho_row = jnp.sum(ft[..., :9, :], axis=-2)
+    rho_s = jnp.where(rho_row != 0, rho_row, 1.0)
+    ratio_r = ft[..., 9, :] / rho_s
+    delta = sum(v - ft[..., i, :] for i, v in news.items())
+    for i, v in news.items():
+        s = _set_row(s, i, row, v, mask)
+    s = _set_row(s, 9, row, ft[..., 9, :] + ratio_r * delta, mask)
+    return s
+
+
+def total_velocity_inlet_top_c(s, vy, row, mask):
+    """Compressed-state form of ``total_velocity_inlet_top``."""
+    ft = s[..., row, :]
+    rho = (ft[0] + ft[1] + ft[3] + 2.0 * (ft[2] + ft[5] + ft[6])) / (1.0 + vy)
+
+    def feq(i, w):
+        ey = {2: 1.0, 4: -1.0, 5: 1.0, 7: -1.0, 6: 1.0, 8: -1.0}[i]
+        return _feq_row_1d(rho, w, 0.0, ey, vy)
+
+    news = {4: feq(4, 1 / 9) + (ft[2] - feq(2, 1 / 9)),
+            7: feq(7, 1 / 36) + (ft[5] - feq(5, 1 / 36)),
+            8: feq(8, 1 / 36) + (ft[6] - feq(6, 1 / 36))}
+    return _update_rows_c(s, row, news, mask)
+
+
+def zou_he_pressure_top_total_c(s, rho_target, row, mask):
+    """Compressed-state pressure inlet: total-PDF Zou-He at the summed
+    per-color target density, split by local ratio (the split path's
+    per-color Zou-He is not representable on the compressed state; see
+    DEVIATIONS.md)."""
+    ft = s[..., row, :]
+    vy = -1.0 + (ft[0] + ft[1] + ft[3] +
+                 2.0 * (ft[2] + ft[5] + ft[6])) / rho_target
+    d13 = 0.5 * (ft[1] - ft[3])
+    rv = rho_target * vy
+    news = {4: ft[2] - (2.0 / 3.0) * rv,
+            7: ft[5] + d13 - rv / 6.0,
+            8: ft[6] - d13 - rv / 6.0}
+    return _update_rows_c(s, row, news, mask)
+
+
+def total_pressure_outlet_bottom_c(s, rho_target, row, mask):
+    """Compressed-state form of ``total_pressure_outlet_bottom``."""
+    ft = s[..., row, :]
+    vy = 1.0 - (ft[0] + ft[1] + ft[3] +
+                2.0 * (ft[4] + ft[7] + ft[8])) / rho_target
+    d31 = 0.5 * (ft[3] - ft[1])
+    rv = rho_target * vy
+    news = {2: ft[4] + (2.0 / 3.0) * rv,
+            5: ft[7] + d31 + rv / 6.0,
+            6: ft[8] - d31 + rv / 6.0}
+    return _update_rows_c(s, row, news, mask)
 
 
 def chang_velocity_top(f_new, f_old, vy, row, mask):

@@ -49,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geometry import Geometry, solid_normals, wetting_masks
 from ..lattice import D2Q9 as D2Q9_LAT
 
-__all__ = ["build_csf_fused_step", "pick_rows_per_block"]
+__all__ = ["build_csf_fused_step", "build_csf_sharded_step",
+           "pick_rows_per_block"]
 
 _EPS = 1.0e-8
 
@@ -71,15 +72,16 @@ def _halo_rows(steps_per_call: int, variant: str = "CSF",
 
 def pick_rows_per_block(ny: int, nx: int, steps_per_call: int = 1,
                         target_vmem_mb: float = 32.0,
-                        variant: str = "CSF") -> int:
+                        variant: str = "CSF", planes: int = 60) -> int:
     """Largest R dividing ny, multiple of H, under the VMEM budget (rough
-    model: ~60 f32 planes of (R + 2H, nx))."""
+    model: ~`planes` f32 planes of (R + 2H, nx); the compressed 10-plane
+    state needs ~36)."""
     h = _halo_rows(steps_per_call, variant)
     best = 0
     for r in range(h, ny + 1, h):
         if ny % r:
             continue
-        mb = 60 * (r + 2 * h) * nx * 4 / 2**20
+        mb = planes * (r + 2 * h) * nx * 4 / 2**20
         if mb <= target_vmem_mb:
             best = r
     return best
@@ -115,11 +117,25 @@ _W = np.array([4 / 9] + [1 / 9] * 4 + [1 / 36] * 4)
 _OPP = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6])
 
 
+def geo_stack(geometry: Geometry) -> np.ndarray:
+    """Static geometry channels consumed by the fused kernels:
+    is_fluid, wet_fluid, nsx, nsy."""
+    wet_fluid, _ = wetting_masks(geometry.is_solid)
+    nsx, nsy = solid_normals(geometry.is_solid)
+    return np.stack([
+        geometry.is_fluid.astype(np.float64),
+        wet_fluid.astype(np.float64),
+        nsx, nsy,
+    ])
+
+
 def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          rows_per_block: int | None = None,
                          steps_per_call: int = 1,
                          bc_config=None,
                          transport_params=None,
+                         state_mode: str = "split",
+                         local_ny: int | None = None,
                          interpret: bool = False):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
     `transport_params` the coupled step ``(f_r, f_b, g) -> (f_r', f_b',
@@ -132,32 +148,54 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     unless the domain is fully periodic, because BC rows are applied
     in-kernel between sub-steps.  Returns None when the domain does not
     strip-decompose.
+
+    ``state_mode="compressed"`` builds the 10-plane step ``s -> s'`` with
+    ``s = concat([f_total (9), rho_r (1)])``: the collision runs on the
+    total PDF (``calRKCollision1TotalGPU2DSRTM``,
+    ``/root/reference/RKCG2D/AcceleratedRKGPU2D.py:1804-1849``) and the
+    recoloring needs only the red density, so carrying (f_total, rho_r)
+    instead of (f_r, f_b) cuts HBM traffic per step from 36 to 20 planes;
+    rho_r at t+1 is the streamed sum of the recolored red PDFs, computed
+    in-window and never stored.
+
+    ``local_ny`` (compressed only) builds the per-shard kernel for a
+    y-decomposed domain (``build_csf_sharded_step``): the call takes the
+    local (10, local_ny, nx) slab, H-row halo slabs received from the y
+    neighbors over ICI, the matching local+halo geometry slabs, and the
+    shard's global row offset (scalar-prefetched so BC rows resolve
+    against *global* row indices).
     """
     ny, nx = geometry.shape
     variant = params.variant
     is_pert = variant == "Perturbation"
+    compressed = state_mode == "compressed"
     if is_pert and params.collision != "SRT":
         return None  # Perturbation MRT stays on the jnp path
     tp = transport_params
     has_transport = tp is not None
     if has_transport:
         if is_pert or tp.scheme != 5 or tp.relaxation != "SRT" \
-                or tp.conserve_mass:
+                or tp.conserve_mass or compressed:
             return None
         if tp.inlet not in ("none", "inamuro", "anti_bounce_back", "zero") \
                 or tp.outlet not in ("none", "freeflow"):
             return None
     tr_mode = tp.interface_mode if has_transport else None
+    is_local = local_ny is not None
+    if is_local and not compressed:
+        return None  # sharded fused path is compressed-only
+    grid_ny = int(local_ny) if is_local else ny
     T = int(steps_per_call)
     H = _halo_rows(T, variant, tr_mode if has_transport else None)
     if rows_per_block is None:
-        rows_per_block = pick_rows_per_block(ny, nx, T, variant=variant)
+        rows_per_block = pick_rows_per_block(
+            grid_ny, nx, T, variant=variant, planes=36 if compressed else 60)
     R = rows_per_block
-    if not R or ny % R or R % H:
+    if not R or grid_ny % R or R % H:
         return None
     W = R + 2 * H
-    nb = ny // R
-    hb = ny // H
+    nb = grid_ny // R
+    hb = grid_ny // H
 
     inlet_kind = getattr(bc_config, "inlet", "periodic")
     outlet_kind = getattr(bc_config, "outlet", "periodic")
@@ -177,13 +215,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     # more statics — stencil denominators, upwind-solid masks — was measured
     # slower: the extra geo DMA outweighs the saved in-kernel rolls.)
     wet_fluid, wet_solid = wetting_masks(geometry.is_solid)
-    nsx, nsy = solid_normals(geometry.is_solid)
     has_wetting = bool(wet_solid.any())
-    geo_np = np.stack([
-        geometry.is_fluid.astype(np.float64),
-        wet_fluid.astype(np.float64),
-        nsx, nsy,
-    ])
+    geo_np = geo_stack(geometry)
     n_geo = geo_np.shape[0]
     geo_dev = jnp.asarray(geo_np, dtype)
 
@@ -298,11 +331,84 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fb[i] = jnp.where(m, _rolly(fb[i], 1, W), fb[i])
         return fr, fb
 
+    def _apply_bcs_window_c(ft, rho_r, fl, rows_g):
+        """Compressed-state BC rows.  Per-direction color splits on BC rows
+        are reconstructed from the local density ratio — exact whenever the
+        inlet/outlet rows are single-phase (the reference's buffer-layer
+        init guarantees this; see DEVIATIONS.md)."""
+        flb = fl > 0.5
+        ft = list(ft)
+
+        rho_row = sum(ft)
+        rho_row_s = jnp.where(rho_row != 0, rho_row, 1.0)
+        ratio_r = rho_r / rho_row_s
+
+        if inlet_kind == "neumann":
+            vy = inlet_velocity
+            rho = (ft[0] + ft[1] + ft[3] +
+                   2.0 * (ft[2] + ft[5] + ft[6])) / (1.0 + vy)
+
+            def feq_row(i):
+                ey = float(e[i, 1])
+                eu = ey * vy
+                return rho * float(w_lat[i]) * \
+                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * vy * vy)
+            news = {4: feq_row(4) + (ft[2] - feq_row(2)),
+                    7: feq_row(7) + (ft[5] - feq_row(5)),
+                    8: feq_row(8) + (ft[6] - feq_row(6))}
+            m = jnp.logical_and(_row_mask(rows_g, ny - 2), flb)
+            delta = sum(news[i] - ft[i] for i in (4, 7, 8))
+            rho_r = jnp.where(m, rho_r + ratio_r * delta, rho_r)
+            for i in (4, 7, 8):
+                ft[i] = jnp.where(m, news[i], ft[i])
+        elif inlet_kind == "dirichlet":
+            # total Zou-He with the summed per-color target densities
+            rho_t = inlet_rho_r + inlet_rho_b
+            vy = -1.0 + (ft[0] + ft[1] + ft[3] +
+                         2.0 * (ft[2] + ft[5] + ft[6])) / rho_t
+            d13 = 0.5 * (ft[1] - ft[3])
+            rv = rho_t * vy
+            news = {4: ft[2] - (2.0 / 3.0) * rv,
+                    7: ft[5] + d13 - rv / 6.0,
+                    8: ft[6] - d13 - rv / 6.0}
+            m = jnp.logical_and(_row_mask(rows_g, ny - 2), flb)
+            delta = sum(news[i] - ft[i] for i in (4, 7, 8))
+            rho_r = jnp.where(m, rho_r + ratio_r * delta, rho_r)
+            for i in (4, 7, 8):
+                ft[i] = jnp.where(m, news[i], ft[i])
+        if inlet_kind in ("neumann", "dirichlet"):
+            m = jnp.logical_and(_row_mask(rows_g, ny - 1), flb)
+            for i in range(9):
+                ft[i] = jnp.where(m, _rolly(ft[i], -1, W), ft[i])
+            rho_r = jnp.where(m, _rolly(rho_r, -1, W), rho_r)
+
+        if outlet_kind == "convective":
+            for k in (2, 1, 0):
+                m = jnp.logical_and(_row_mask(rows_g, k), flb)
+                for i in range(9):
+                    ft[i] = jnp.where(m, _rolly(ft[i], 1, W), ft[i])
+                rho_r = jnp.where(m, _rolly(rho_r, 1, W), rho_r)
+        elif outlet_kind == "dirichlet":
+            vy = 1.0 - (ft[0] + ft[1] + ft[3] +
+                        2.0 * (ft[4] + ft[7] + ft[8])) / outlet_rho
+            d31 = 0.5 * (ft[3] - ft[1])
+            rv = outlet_rho * vy
+            news = {2: ft[4] + (2.0 / 3.0) * rv,
+                    5: ft[7] + d31 + rv / 6.0,
+                    6: ft[8] - d31 + rv / 6.0}
+            m = jnp.logical_and(_row_mask(rows_g, 1), flb)
+            delta = sum(news[i] - ft[i] for i in (2, 5, 6))
+            rho_r = jnp.where(m, rho_r + ratio_r * delta, rho_r)
+            for i in (2, 5, 6):
+                ft[i] = jnp.where(m, news[i], ft[i])
+            m = jnp.logical_and(_row_mask(rows_g, 0), flb)
+            for i in range(9):
+                ft[i] = jnp.where(m, _rolly(ft[i], 1, W), ft[i])
+            rho_r = jnp.where(m, _rolly(rho_r, 1, W), rho_r)
+        return ft, rho_r
+
     # -- flow fields (phi, wetted gradient, CSF force) on the full window ---
-    def _fields(fr, fb, fl, wet, ns_x, ns_y):
-        rho_r = sum(fr)
-        rho_b = sum(fb)
-        rho = rho_r + rho_b
+    def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y):
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
 
@@ -410,20 +516,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             fy = fy + bfy * rho
         fx = fx * fl
         fy = fy * fl
-        return rho_r, rho_b, rho, rho_safe, phi, gx, gy, fx, fy
+        return rho_safe, phi, gx, gy, fx, fy
 
-    # -- one physics sub-step on the full window ---------------------------
-    def _substep(fr, fb, fl, wet, ns_x, ns_y):
-        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists."""
-        rho_r, rho_b, rho, rho_safe, phi, gx, gy, fx, fy = \
-            _fields(fr, fb, fl, wet, ns_x, ns_y)
-
+    # -- shared collision on the total PDF (returns post list) -------------
+    def _collide_total(ft, rho_r, rho_b, rho, rho_safe, phi, gx, gy, fx, fy):
         # macroscopic velocity and tau(phi)
         mx = jnp.zeros_like(rho)
         my = jnp.zeros_like(rho)
         for i in range(1, 9):
             exi, eyi = float(e[i, 0]), float(e[i, 1])
-            fti = fr[i] + fb[i]
+            fti = ft[i]
             if exi:
                 mx = mx + exi * fti
             if eyi:
@@ -461,7 +563,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     3.0 * (float(e[i, 1]) - uy) * fy +
                     9.0 * float(e[i, 0]) * eu * fx +
                     9.0 * float(e[i, 1]) * eu * fy)
-                fti = fr[i] + fb[i]
+                fti = ft[i]
                 gmats.append(fti - feq_i + 0.5 * src_i)
                 post[i] = fti + src_i
             moments = []
@@ -501,8 +603,21 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     3.0 * (float(e[i, 1]) - uy) * fy +
                     9.0 * float(e[i, 0]) * eu * fx +
                     9.0 * float(e[i, 1]) * eu * fy)
-                fti = fr[i] + fb[i]
+                fti = ft[i]
                 post[i] = fti - (fti - feq_i) * inv_tau + pref * src_i
+        return post, ux, uy
+
+    # -- one physics sub-step on the full window ---------------------------
+    def _substep(fr, fb, fl, wet, ns_x, ns_y):
+        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists."""
+        rho_r = sum(fr)
+        rho_b = sum(fb)
+        rho = rho_r + rho_b
+        rho_safe, phi, gx, gy, fx, fy = \
+            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y)
+        ft = [fr[i] + fb[i] for i in range(9)]
+        post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rho_safe, phi,
+                                    gx, gy, fx, fy)
 
         # LKR recoloring (f_b' = post - f_r')
         gnorm = jnp.sqrt(gx * gx + gy * gy)
@@ -536,6 +651,45 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             out_b[i] = jnp.where(up_solid, fb_post[io],
                                  sh(fb_post[i], -dx, -dy)) * fl
         return out_r, out_b
+
+    # -- compressed sub-step: (f_total list, rho_r) -> same -----------------
+    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y):
+        rho = sum(ft)
+        rho_b = rho - rho_r
+        rho_safe, phi, gx, gy, fx, fy = \
+            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y)
+        post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rho_safe, phi,
+                                    gx, gy, fx, fy)
+
+        # LKR recoloring of the red component only (blue = post - red)
+        gnorm = jnp.sqrt(gx * gx + gy * gy)
+        gsafe = gnorm > _EPS
+        gnorm_s = jnp.where(gsafe, gnorm, 1.0)
+        frac_r = rho_r / rho_safe
+        seg_base = beta * rho_r * rho_b / rho_safe
+        fr_post = [None] * 9
+        for i in range(9):
+            if i == 0:
+                seg = 0.0
+            else:
+                eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
+                cos_enorm = jnp.where(gsafe, eg / gnorm_s, 0.0)
+                seg = seg_base * float(w_lat[i]) * cos_enorm
+            fr_post[i] = frac_r * post[i] + seg
+
+        # pull-stream the total PDF; accumulate the streamed red density
+        out_t = [None] * 9
+        out_t[0] = post[0] * fl
+        rho_r_new = fr_post[0]
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            io = int(opp[i])
+            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+            out_t[i] = jnp.where(up_solid, post[io],
+                                 sh(post[i], -dx, -dy)) * fl
+            rho_r_new = rho_r_new + jnp.where(up_solid, fr_post[io],
+                                              sh(fr_post[i], -dx, -dy))
+        return out_t, rho_r_new * fl
 
     # -- Perturbation-variant sub-step (Liu et al. 2014) --------------------
     if is_pert:
@@ -644,6 +798,90 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                  sh(fb_post[i], -dx, -dy)) * fl
         return out_r, out_b
 
+    # -- compressed Perturbation sub-step ------------------------------------
+    def _substep_pert_c(ft, rho_r, fl):
+        """Per-color BGK collision is linear in the PDFs with a shared
+        tau(phi), so the total-PDF update needs only (rho_r, rho_b):
+        feq_tot_i = rho_r c_r_i + rho_b c_b_i + rho quad_i."""
+        rho = sum(ft)
+        rho_b = rho - rho_r
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
+        mx = jnp.zeros_like(rho)
+        my = jnp.zeros_like(rho)
+        for i in range(1, 9):
+            exi, eyi = float(e[i, 0]), float(e[i, 1])
+            if exi:
+                mx = mx + exi * ft[i]
+            if eyi:
+                my = my + eyi * ft[i]
+        ux = mx / rho_safe
+        uy = my / rho_safe
+        s1 = 2.0 * tau_r * tau_b / (tau_r + tau_b)
+        s2 = 2.0 * (tau_r - s1) / delta
+        s3 = -s2 / (2.0 * delta)
+        t2 = 2.0 * (s1 - tau_b) / delta
+        t3 = t2 / (2.0 * delta)
+        tau1 = s1 + s2 * phi + s3 * phi * phi
+        tau2 = s1 + t2 * phi + t3 * phi * phi
+        tau = jnp.where(phi > delta, tau_r,
+                        jnp.where(phi > 0.0, tau1,
+                                  jnp.where(phi >= -delta, tau2, tau_b)))
+        inv_tau = 1.0 / tau
+        uu = ux * ux + uy * uy
+        post = [None] * 9
+        for i in range(9):
+            eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
+            quad = float(w_lat[i]) * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+            feq_t = rho_r * float(c_r[i]) + rho_b * float(c_b[i]) + rho * quad
+            post[i] = ft[i] - (ft[i] - feq_t) * inv_tau
+        diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
+        gx = jnp.zeros_like(diff)
+        gy = jnp.zeros_like(diff)
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            wi = float(grad_w[i])
+            s = sh(diff, dx, dy)
+            if dx:
+                gx = gx + (wi * dx) * s
+            if dy:
+                gy = gy + (wi * dy) * s
+        g2 = gx * gx + gy * gy
+        gnorm = jnp.sqrt(g2)
+        gsafe = g2 > 0
+        g2_s = jnp.where(gsafe, g2, 1.0)
+        a_k = 0.5 * (a_kr + a_kb)
+        for i in range(9):
+            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
+            base = gnorm * (float(w_lat[i]) * eg * eg / g2_s
+                            - float(B_CONSTANTS[i]))
+            post[i] = post[i] + a_k * jnp.where(gsafe, base, 0.0)
+        e_norm = np.sqrt((e.astype(np.float64) ** 2).sum(axis=1))
+        e_norm[e_norm == 0] = 1.0
+        safe2 = gnorm > _EPS
+        gnorm_s = jnp.where(safe2, gnorm, 1.0)
+        frac_r = rho_r / rho_safe
+        seg_base = beta * rho_r * rho_b / (rho_safe * rho_safe)
+        fr_post = [None] * 9
+        for i in range(9):
+            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
+            cos_t_ = jnp.where(safe2, eg / (gnorm_s * float(e_norm[i])),
+                               0.0)
+            feq_rho = rho_r * float(c_r[i]) + rho_b * float(c_b[i])
+            fr_post[i] = frac_r * post[i] + seg_base * feq_rho * cos_t_
+        out_t = [None] * 9
+        out_t[0] = post[0] * fl
+        rho_r_new = fr_post[0]
+        for i in range(1, 9):
+            dx, dy = int(e[i, 0]), int(e[i, 1])
+            io = int(opp[i])
+            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
+            out_t[i] = jnp.where(up_solid, post[io],
+                                 sh(post[i], -dx, -dy)) * fl
+            rho_r_new = rho_r_new + jnp.where(up_solid, fr_post[io],
+                                              sh(fr_post[i], -dx, -dy))
+        return out_t, rho_r_new * fl
+
     # -- coupled D2Q5 transport sub-step ------------------------------------
     if has_transport:
         E5 = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)])
@@ -750,22 +988,46 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     need_rows = T > 1 or has_bcs or has_transport
 
     def kernel(*refs):
-        fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
-        idx = 9
-        if has_transport:
-            tr_c, tr_u, tr_d = refs[idx:idx + 3]
-            idx += 3
-        outs = refs[idx:]
-        f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
-        f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
+        if is_local:
+            # scalar-prefetched global row offset of local row 0, then the
+            # wrapped center/halo refs plus the ppermuted edge slabs
+            (row0_ref, s_c, s_u, s_d, up_sl, dn_sl,
+             g_c, g_u, g_d, gup_sl, gdn_sl) = refs[:11]
+            outs = refs[11:]
+            i0 = pl.program_id(0)
+            first = i0 == 0
+            last = i0 == nb - 1
+            # edge strips take their halo from the neighbor-shard slabs;
+            # interior strips use the in-shard wrapped slabs
+            s_u = jnp.where(first, up_sl[:], s_u[:])
+            s_d = jnp.where(last, dn_sl[:], s_d[:])
+            g_u = jnp.where(first, gup_sl[:], g_u[:])
+            g_d = jnp.where(last, gdn_sl[:], g_d[:])
+        elif compressed:
+            s_c, s_u, s_d, g_c, g_u, g_d = refs[:6]
+            outs = refs[6:]
+        else:
+            fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
+            idx = 9
+            if has_transport:
+                tr_c, tr_u, tr_d = refs[idx:idx + 3]
+                idx += 3
+            outs = refs[idx:]
         geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
         fl = geo[0]
         wet = geo[1]
         ns_x = geo[2]
         ns_y = geo[3]
 
-        fr = [f_r[i] for i in range(9)]
-        fb = [f_b[i] for i in range(9)]
+        if compressed:
+            s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
+            ft = [s[i] for i in range(9)]
+            rho_r = s[9]
+        else:
+            f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
+            f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
+            fr = [f_r[i] for i in range(9)]
+            fb = [f_b[i] for i in range(9)]
         if has_transport:
             gwin = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=2)
             g = [[gwin[t, i] for i in range(5)] for t in range(NT)]
@@ -773,13 +1035,17 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         if need_rows:
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
-            rows_g = (i0 * R - H + r_iota) % ny
+            off = row0_ref[0] if is_local else 0
+            rows_g = (off + i0 * R - H + r_iota) % ny
         for _ in range(T):
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
                 # TransportRK._step_impl
-                rho_r_, _, _, rho_safe_, _, gx_, gy_, fx_, fy_ = \
-                    _fields(fr, fb, fl, wet, ns_x, ns_y)
+                rho_r_ = sum(fr)
+                rho_b_ = sum(fb)
+                rho_ = rho_r_ + rho_b_
+                rho_safe_, _, gx_, gy_, fx_, fy_ = \
+                    _fields(rho_r_, rho_b_, rho_, fl, wet, ns_x, ns_y)
                 mx_ = jnp.zeros_like(rho_r_)
                 my_ = jnp.zeros_like(rho_r_)
                 for i in range(1, 9):
@@ -793,12 +1059,26 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 uy_ = (my_ + 0.5 * fy_) / rho_safe_
                 g = _transport_substep(g, fl, rows_g, ux_, uy_, gx_, gy_,
                                        rho_r_)
-            if has_bcs:
-                fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
-            if is_pert:
-                fr, fb = _substep_pert(fr, fb, fl)
+            if compressed:
+                if has_bcs:
+                    ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, rows_g)
+                if is_pert:
+                    ft, rho_r = _substep_pert_c(ft, rho_r, fl)
+                else:
+                    ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y)
             else:
-                fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
+                if has_bcs:
+                    fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
+                if is_pert:
+                    fr, fb = _substep_pert(fr, fb, fl)
+                else:
+                    fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
+        if compressed:
+            out_s = outs[0]
+            for i in range(9):
+                out_s[i] = ft[i][H:H + R]
+            out_s[9] = rho_r[H:H + R]
+            return
         out_r, out_b = outs[0], outs[1]
         for i in range(9):
             out_r[i] = fr[i][H:H + R]
@@ -809,10 +1089,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 for i in range(5):
                     out_g[t, i] = g[t][i][H:H + R]
 
-    center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
-    halo_up = pl.BlockSpec((9, H, nx),
+    n_st = 10 if compressed else 9
+    center = pl.BlockSpec((n_st, R, nx), lambda i: (0, i, 0))
+    halo_up = pl.BlockSpec((n_st, H, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
-    halo_dn = pl.BlockSpec((9, H, nx),
+    halo_dn = pl.BlockSpec((n_st, H, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0))
     gcenter = pl.BlockSpec((n_geo, R, nx), lambda i: (0, i, 0))
     ghalo_up = pl.BlockSpec((n_geo, H, nx),
@@ -820,13 +1101,40 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     ghalo_dn = pl.BlockSpec((n_geo, H, nx),
                             lambda i: (0, (i * (R // H) + R // H) % hb, 0))
 
-    in_specs = [center, halo_up, halo_dn,
-                center, halo_up, halo_dn,
-                gcenter, ghalo_up, ghalo_dn]
-    out_specs = [pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
-                 pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))]
-    out_shape = [jax.ShapeDtypeStruct((9, ny, nx), dtype),
-                 jax.ShapeDtypeStruct((9, ny, nx), dtype)]
+    if is_local:
+        # under PrefetchScalarGridSpec every index_map also receives the
+        # scalar-prefetch ref (unused here)
+        center_l = pl.BlockSpec((n_st, R, nx), lambda i, s: (0, i, 0))
+        halo_up_l = pl.BlockSpec(
+            (n_st, H, nx), lambda i, s: (0, (i * (R // H) - 1) % hb, 0))
+        halo_dn_l = pl.BlockSpec(
+            (n_st, H, nx),
+            lambda i, s: (0, (i * (R // H) + R // H) % hb, 0))
+        gcenter_l = pl.BlockSpec((n_geo, R, nx), lambda i, s: (0, i, 0))
+        ghalo_up_l = pl.BlockSpec(
+            (n_geo, H, nx), lambda i, s: (0, (i * (R // H) - 1) % hb, 0))
+        ghalo_dn_l = pl.BlockSpec(
+            (n_geo, H, nx),
+            lambda i, s: (0, (i * (R // H) + R // H) % hb, 0))
+        slab = pl.BlockSpec((n_st, H, nx), lambda i, s: (0, 0, 0))
+        gslab = pl.BlockSpec((n_geo, H, nx), lambda i, s: (0, 0, 0))
+        in_specs = [center_l, halo_up_l, halo_dn_l, slab, slab,
+                    gcenter_l, ghalo_up_l, ghalo_dn_l, gslab, gslab]
+        out_specs = [pl.BlockSpec((10, R, nx), lambda i, s: (0, i, 0))]
+        out_shape = [jax.ShapeDtypeStruct((10, grid_ny, nx), dtype)]
+    elif compressed:
+        in_specs = [center, halo_up, halo_dn,
+                    gcenter, ghalo_up, ghalo_dn]
+        out_specs = [pl.BlockSpec((10, R, nx), lambda i: (0, i, 0))]
+        out_shape = [jax.ShapeDtypeStruct((10, ny, nx), dtype)]
+    else:
+        in_specs = [center, halo_up, halo_dn,
+                    center, halo_up, halo_dn,
+                    gcenter, ghalo_up, ghalo_dn]
+        out_specs = [pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
+                     pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))]
+        out_shape = [jax.ShapeDtypeStruct((9, ny, nx), dtype),
+                     jax.ShapeDtypeStruct((9, ny, nx), dtype)]
     if has_transport:
         in_specs += [
             pl.BlockSpec((NT, 5, R, nx), lambda i: (0, 0, i, 0)),
@@ -839,19 +1147,42 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             pl.BlockSpec((NT, 5, R, nx), lambda i: (0, 0, i, 0)))
         out_shape.append(jax.ShapeDtypeStruct((NT, 5, ny, nx), dtype))
 
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024,
+        dimension_semantics=("arbitrary",))
+    if is_local:
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb,),
+                in_specs=in_specs,
+                out_specs=tuple(out_specs)),
+            out_shape=tuple(out_shape),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+
+        def step(s_loc, up, dn, geo_loc, gup, gdn, row0):
+            return call(row0, s_loc, s_loc, s_loc, up, dn,
+                        geo_loc, geo_loc, geo_loc, gup, gdn)[0]
+
+        return step
+
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
+        compiler_params=compiler_params,
         interpret=interpret,
     )
 
-    if has_transport:
+    if compressed:
+        def step(s):
+            return call(s, s, s, geo_dev, geo_dev, geo_dev)[0]
+    elif has_transport:
         def step(f_r, f_b, g):
             return call(f_r, f_r, f_r, f_b, f_b, f_b,
                         geo_dev, geo_dev, geo_dev, g, g, g)
@@ -859,5 +1190,72 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         def step(f_r, f_b):
             return call(f_r, f_r, f_r, f_b, f_b, f_b,
                         geo_dev, geo_dev, geo_dev)
+
+    return step
+
+
+def build_csf_sharded_step(geometry: Geometry, params, mesh,
+                           dtype=jnp.float32,
+                           rows_per_block: int | None = None,
+                           steps_per_call: int = 1,
+                           bc_config=None,
+                           interpret: bool = False):
+    """Compressed fused CSF/Perturbation step under a y-sharded mesh.
+
+    The domain is row-decomposed over the mesh "y" axis (x stays on-shard:
+    the kernel's lane rolls give exact x periodicity only over the full
+    width).  Per call, each shard exchanges H halo rows of the state and
+    the static geometry with its ring neighbors via ``lax.ppermute`` over
+    ICI, then runs the local-grid kernel; boundary-condition rows resolve
+    against global row indices through a scalar-prefetched shard offset,
+    so the same program serves every shard (SPMD).  Returns
+    ``step(s) -> s'`` on the globally-sharded (10, ny, nx) state, or None
+    when the decomposition does not apply.
+    """
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    ny, nx = geometry.shape
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sh = axis_sizes.get("y", 1)
+    if axis_sizes.get("x", 1) != 1 or ny % n_sh:
+        return None
+    ny_loc = ny // n_sh
+    T = int(steps_per_call)
+    H = _halo_rows(T, params.variant)
+    local = build_csf_fused_step(
+        geometry, params, dtype, rows_per_block, steps_per_call, bc_config,
+        state_mode="compressed", local_ny=ny_loc, interpret=interpret)
+    if local is None:
+        return None
+
+    spec = P(None, "y", None)
+    geo = jax.device_put(jnp.asarray(geo_stack(geometry), dtype),
+                         NamedSharding(mesh, spec))
+    fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
+    bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+
+    def _local_step(s_loc, geo_loc):
+        def halo(x):
+            up = lax.ppermute(x[:, -H:, :], "y", fwd)
+            dn = lax.ppermute(x[:, :H, :], "y", bwd)
+            return up, dn
+
+        row0 = jnp.reshape(
+            (lax.axis_index("y") * ny_loc).astype(jnp.int32), (1,))
+        up, dn = halo(s_loc)
+        gup, gdn = halo(geo_loc)
+        return local(s_loc, up, dn, geo_loc, gup, gdn, row0)
+
+    # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
+    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec, check_vma=False)
+
+    def step(s):
+        return sharded(s, geo)
 
     return step

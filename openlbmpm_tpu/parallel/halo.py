@@ -26,8 +26,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 top-level API
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ["exchange_halo", "make_sharded_stepper"]
 

@@ -182,3 +182,40 @@ def test_static_contact_angle_sweep(theta):
     cos_theta = (r_cap - height) / r_cap
     meas = np.degrees(np.arccos(np.clip(cos_theta, -1, 1)))
     assert abs(meas - theta) < 15.0, (meas, theta)
+
+
+@pytest.mark.parametrize("variant,collision", [
+    ("CSF", "SRT"), ("CSF", "MRT"), ("Perturbation", "SRT")])
+def test_compressed_state_matches_split(variant, collision):
+    """The compressed (f_total, rho_r) step tracks the split (f_r, f_b)
+    step: identical trajectories of (f_r + f_b, sum f_r) to fp roundoff
+    (f64, few steps — the tau(phi) selects amplify roundoff discretely
+    once |phi| ~ delta interface cells accumulate noise)."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    kw = dict(variant=variant, collision=collision, surface_tension=0.01,
+              tau_r=1.0, tau_b=0.8)
+    if variant == "CSF":
+        kw.update(tau_type=2, wetting_type=2)
+    else:
+        kw.update(a_kr=0.005, a_kb=0.003, alpha_r=4 / 9, alpha_b=4 / 9,
+                  solid_phi=0.5)
+    params = ColorGradientParams(**kw)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float64, use_pallas=False)
+    f_r, f_b = m.init_state_layers(1.0, 1.0, invading_rows=8)
+    s = m.pack_state(f_r, f_b)
+    for _ in range(6):
+        f_r, f_b = m._step_impl(f_r, f_b)
+        s = m._step_impl_c(s)
+    assert float(jnp.max(jnp.abs((f_r + f_b) - s[:9]))) < 1e-12
+    assert float(jnp.max(jnp.abs(jnp.sum(f_r, 0) - s[9]))) < 1e-12
+    # diagnostics agree
+    rho_r_a, rho_b_a, phi_a, (ux_a, uy_a) = m.macro((f_r, f_b))
+    rho_r_b, rho_b_b, phi_b, (ux_b, uy_b) = m.macro_c(s)
+    assert float(jnp.max(jnp.abs(rho_r_a - rho_r_b))) < 1e-12
+    assert float(jnp.max(jnp.abs(ux_a - ux_b))) < 1e-12

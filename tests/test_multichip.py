@@ -158,3 +158,40 @@ def test_explicit_halo_exchange_matches_global():
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(ref_b), np.asarray(b),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("t_block", [1, 2])
+def test_fused_compressed_sharded_equals_single(t_block):
+    """The production multi-chip configuration: the compressed fused Pallas
+    kernel under shard_map on a 4-shard y-mesh (interpret mode), with
+    ppermute halo slabs and scalar-prefetched global row offsets, matches
+    the single-device compressed jnp step — full BC choreography included
+    (VERDICT round 1, item 3)."""
+    from openlbmpm_tpu.pallas.csf import build_csf_sharded_step
+
+    ny, nx = 64, 64
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(variant="CSF", collision="MRT",
+                                 surface_tension=0.01, tau_type=2,
+                                 wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                            dtype=jnp.float64, use_pallas=False)
+    mesh = make_mesh(shape=(4, 1))
+    step = build_csf_sharded_step(model.geo, params, mesh, jnp.float64,
+                                  rows_per_block=8, steps_per_call=t_block,
+                                  bc_config=bcs, interpret=True)
+    assert step is not None
+    s_ref = model.pack_state(*model.init_state_layers(1.0, 1.0,
+                                                      invading_rows=12))
+    s_sh = jax.device_put(s_ref, domain_sharding(mesh, 3))
+    for _ in range(4):
+        s_ref = model._step_impl_c(s_ref)
+    jstep = jax.jit(step)
+    for _ in range(4 // t_block):
+        s_sh = jstep(s_sh)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh),
+                               rtol=0, atol=1e-12)

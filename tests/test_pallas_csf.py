@@ -141,6 +141,81 @@ def test_perturbation_fused_matches_jnp(t_block):
     assert float(jnp.max(jnp.abs(b - d))) < 5e-6
 
 
+@pytest.mark.parametrize("walls,collision", [
+    (False, "SRT"), (True, "MRT")])
+def test_compressed_fused_matches_compressed_jnp(walls, collision):
+    """state_mode='compressed' kernel (10-plane f_total+rho_r state) vs the
+    compressed jnp step."""
+    m = _model(walls, collision)
+    fused = build_csf_fused_step(m.geo, m.p, jnp.float32,
+                                 rows_per_block=8, state_mode="compressed",
+                                 interpret=True)
+    s = m.pack_state(*m.init_state_droplet(1.0, 1.0, radius=8.0))
+    s2 = s
+    for _ in range(5):
+        s = m._step_impl_c(s)
+        s2 = fused(s2)
+    assert float(jnp.max(jnp.abs(s - s2))) < 5e-6
+
+
+@pytest.mark.parametrize("t_block", [2, 4])
+def test_compressed_blocked_matches_sequential(t_block):
+    """Compressed temporal blocking with in-kernel BC rows == T sequential
+    compressed jnp steps (f64: the layered-interface tau(phi) select sits
+    at |phi| ~ delta, so f32 noise flips branches)."""
+    import jax
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("needs x64")
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.01,
+        tau_r=1.0, tau_b=0.8, tau_type=2, wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float64, use_pallas=False)
+    blk = build_csf_fused_step(m.geo, params, jnp.float64,
+                               rows_per_block=8 if t_block <= 2 else 16,
+                               steps_per_call=t_block, bc_config=bcs,
+                               state_mode="compressed", interpret=True)
+    s = m.pack_state(*m.init_state_layers(1.0, 1.0, invading_rows=8))
+    s2 = s
+    for _ in range(4):
+        s = m._step_impl_c(s)
+    for _ in range(4 // t_block):
+        s2 = blk(s2)
+    assert float(jnp.max(jnp.abs(s - s2))) < 1e-12
+
+
+def test_compressed_perturbation_fused_matches_jnp():
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="Perturbation", collision="SRT", surface_tension=0.005,
+        a_kr=0.005, a_kb=0.003, alpha_r=4 / 9, alpha_b=4 / 9,
+        solid_phi=0.5, tau_r=1.0, tau_b=0.8)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float32, use_pallas=False)
+    fused = build_csf_fused_step(m.geo, params, jnp.float32,
+                                 rows_per_block=8, steps_per_call=2,
+                                 bc_config=bcs, state_mode="compressed",
+                                 interpret=True)
+    s = m.pack_state(*m.init_state_layers(1.0, 1.0, invading_rows=8))
+    s2 = s
+    for _ in range(4):
+        s = m._step_impl_c(s)
+    for _ in range(2):
+        s2 = fused(s2)
+    assert float(jnp.max(jnp.abs(s - s2))) < 5e-6
+
+
 def test_perturbation_mrt_falls_back_to_jnp():
     params = ColorGradientParams(variant="Perturbation", collision="MRT")
     g = geo.from_solid_mask(np.zeros((32, 32), bool))
