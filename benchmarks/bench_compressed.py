@@ -6,10 +6,13 @@ combo syntax: MODE,T,R  e.g. comp,4,64 split,4,64
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(combos):

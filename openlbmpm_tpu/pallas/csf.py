@@ -119,13 +119,25 @@ _OPP = np.array([0, 3, 4, 1, 2, 7, 8, 5, 6])
 
 def geo_stack(geometry: Geometry) -> np.ndarray:
     """Static geometry channels consumed by the fused kernels:
-    is_fluid, wet_fluid, nsx, nsy."""
+    is_fluid, wet_fluid, nsx, nsy, den_inv.
+
+    den_inv is the reciprocal of the solid-phi extrapolation denominator
+    Σ_i w_i is_fluid(x+e_i) (zero where no fluid neighbor exists): the
+    denominator depends only on the geometry, so hoisting it here removes
+    eight static-mask rolls per sub-step from the kernel."""
     wet_fluid, _ = wetting_masks(geometry.is_solid)
     nsx, nsy = solid_normals(geometry.is_solid)
+    fl = geometry.is_fluid.astype(np.float64)
+    den = np.zeros_like(fl)
+    for i in range(1, 9):
+        dx, dy = int(_E[i, 0]), int(_E[i, 1])
+        den += float(_W[i]) * np.roll(fl, (-dy, -dx), axis=(0, 1))
+    den_inv = np.where(den > 0, 1.0 / np.where(den > 0, den, 1.0), 0.0)
     return np.stack([
-        geometry.is_fluid.astype(np.float64),
+        fl,
         wet_fluid.astype(np.float64),
         nsx, nsy,
+        den_inv,
     ])
 
 
@@ -241,6 +253,22 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     e, w_lat, opp = _E, _W, _OPP
 
     sh = functools.partial(_sh, nx=nx, w=W)
+
+    def _grad2d(a, w_ax, w_diag):
+        """(gx, gy) of the 3x3 stencil Σ_i w_i e_i a(x+e_i) with axis
+        weight w_ax and diagonal weight w_diag, computed separably: the
+        diagonal taps are x-shifts of the (N+S) row sum, so the whole
+        gradient costs 8 single-axis rolls instead of 12 roll-ops (the
+        four diagonal shifts each being a double roll)."""
+        pN = sh(a, 0, 1)
+        pS = sh(a, 0, -1)
+        pE = sh(a, 1, 0)
+        pW = sh(a, -1, 0)
+        q = w_ax * a + w_diag * (pN + pS)
+        r = w_ax * a + w_diag * (pE + pW)
+        gx = sh(q, 1, 0) - sh(q, -1, 0)
+        gy = sh(r, 0, 1) - sh(r, 0, -1)
+        return gx, gy
 
     # -- in-window boundary-condition rows ---------------------------------
     def _row_mask(rows_g, k):
@@ -408,59 +436,49 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return ft, rho_r
 
     # -- flow fields (phi, wetted gradient, CSF force) on the full window ---
-    def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y):
+    def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv):
         rho_safe = jnp.where(rho > 0, rho, 1.0)
-        phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
+        rinv = 1.0 / rho_safe
+        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
 
         if has_wetting:
-            num = jnp.zeros_like(phi)
-            den = jnp.zeros_like(phi)
-            for i in range(1, 9):
-                dx, dy = int(e[i, 0]), int(e[i, 1])
-                wi = float(w_lat[i])
-                fl_n = sh(fl, dx, dy)
-                num = num + wi * fl_n * sh(phi, dx, dy)
-                den = den + wi * fl_n
-            phi_solid = jnp.where(den > 0,
-                                  num / jnp.where(den > 0, den, 1.0), 0.0)
-            phi_ext = jnp.where(fl > 0.5, phi, phi_solid)
+            # phi is pre-masked by fl, so sh(phi) is already zero at solid
+            # neighbors; the static denominator rides in as den_inv (zero
+            # where no fluid neighbor exists).  Diagonal taps are x-shifts
+            # of the (N+S) row sum (separable, as in _grad2d).
+            pns = sh(phi, 0, 1) + sh(phi, 0, -1)
+            num = (1.0 / 9.0) * (sh(phi, 1, 0) + sh(phi, -1, 0) + pns) + \
+                (1.0 / 36.0) * (sh(pns, 1, 0) + sh(pns, -1, 0))
+            phi_ext = jnp.where(fl > 0.5, phi, num * den_inv)
         else:
             phi_ext = phi
 
-        gx = jnp.zeros_like(phi)
-        gy = jnp.zeros_like(phi)
-        for i in range(1, 9):
-            dx, dy = int(e[i, 0]), int(e[i, 1])
-            wi = float(w_lat[i])
-            s = sh(phi_ext, dx, dy)
-            if dx:
-                gx = gx + (wi * dx) * s
-            if dy:
-                gy = gy + (wi * dy) * s
-        gx = 3.0 * gx
-        gy = 3.0 * gy
+        # isotropic gradient 3 Σ w_i e_i phi_ext(x+e_i)
+        gx, gy = _grad2d(phi_ext, 1.0 / 3.0, 1.0 / 12.0)
 
         if has_wetting:
-            norm = jnp.sqrt(gx * gx + gy * gy)
-            safe = norm > _EPS
-            norm_s = jnp.where(safe, norm, 1.0)
+            g2w = gx * gx + gy * gy
+            safe = g2w > _EPS * _EPS
+            g_rinvw = jax.lax.rsqrt(jnp.where(safe, g2w, 1.0))
+            norm = g2w * g_rinvw
             if inward:  # Akai 2018 (wetting_type == 2)
-                ux_ = jnp.where(safe, -gx / norm_s, 0.0)
-                uy_ = jnp.where(safe, -gy / norm_s, 0.0)
+                ux_ = jnp.where(safe, -gx * g_rinvw, 0.0)
+                uy_ = jnp.where(safe, -gy * g_rinvw, 0.0)
                 dot = jnp.clip(ux_ * ns_x + uy_ * ns_y, -1.0, 1.0)
                 # cos(theta_gs) = dot, sin = sqrt(1 - dot^2): no arccos
                 # (acos does not lower on TPU).
-                sin_gs = jnp.sqrt(jnp.maximum(1.0 - dot * dot, 0.0))
-                ok = sin_gs > 1.0e-9
-                sin_ok = jnp.where(ok, sin_gs, 1.0)
-                c1 = jnp.where(ok, sin_t * dot / sin_ok, 0.0)
-                c2 = jnp.where(ok, sin_t / sin_ok, 0.0)
+                sin2 = jnp.maximum(1.0 - dot * dot, 0.0)
+                ok = sin2 > 1.0e-18
+                rsin = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, sin2, 1.0)),
+                                 0.0)
+                c1 = sin_t * dot * rsin
+                c2 = sin_t * rsin
                 n1x = (cos_t - c1) * ns_x + c2 * ux_
                 n1y = (cos_t - c1) * ns_y + c2 * uy_
                 n2x = (cos_t + c1) * ns_x - c2 * ux_
                 n2y = (cos_t + c1) * ns_y - c2 * uy_
-                d1 = jnp.sqrt((n1x - ux_) ** 2 + (n1y - uy_) ** 2)
-                d2 = jnp.sqrt((n2x - ux_) ** 2 + (n2y - uy_) ** 2)
+                d1 = (n1x - ux_) ** 2 + (n1y - uy_) ** 2
+                d2 = (n2x - ux_) ** 2 + (n2y - uy_) ** 2
                 pick1 = d1 < d2
                 tie = d1 == d2
                 mx_ = jnp.where(pick1, n1x, n2x)
@@ -468,14 +486,14 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 gx_new = jnp.where(tie, gx, -norm * mx_)
                 gy_new = jnp.where(tie, gy, -norm * my_)
             else:  # Xu 2017 (wetting_type == 1)
-                ux_ = jnp.where(safe, gx / norm_s, 0.0)
-                uy_ = jnp.where(safe, gy / norm_s, 0.0)
+                ux_ = jnp.where(safe, gx * g_rinvw, 0.0)
+                uy_ = jnp.where(safe, gy * g_rinvw, 0.0)
                 n1x = ns_x * cos_t - ns_y * sin_t
                 n1y = ns_y * cos_t + ns_x * sin_t
                 n2x = ns_x * cos_t + ns_y * sin_t
                 n2y = ns_y * cos_t - ns_x * sin_t
-                d1 = jnp.sqrt((ux_ - n1x) ** 2 + (uy_ - n1y) ** 2)
-                d2 = jnp.sqrt((ux_ - n2x) ** 2 + (uy_ - n2y) ** 2)
+                d1 = (ux_ - n1x) ** 2 + (uy_ - n1y) ** 2
+                d2 = (ux_ - n2x) ** 2 + (uy_ - n2y) ** 2
                 mx_ = jnp.where(d1 < d2, n1x,
                                 jnp.where(d1 > d2, n2x, ns_x))
                 my_ = jnp.where(d1 < d2, n1y,
@@ -487,26 +505,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             gy = jnp.where(wetm, gy_new, gy)
 
         # curvature + CSF force
-        norm = jnp.sqrt(gx * gx + gy * gy)
-        safe = norm > (_EPS if inward else 0.0)
-        norm_s = jnp.where(safe, norm, 1.0)
-        nhx = jnp.where(safe, sign * gx / norm_s, 0.0) * fl
-        nhy = jnp.where(safe, sign * gy / norm_s, 0.0) * fl
-        dx_ny = jnp.zeros_like(gx)
-        dy_nx = jnp.zeros_like(gx)
-        dx_nx = jnp.zeros_like(gx)
-        dy_ny = jnp.zeros_like(gx)
-        for i in range(1, 9):
-            dx, dy = int(e[i, 0]), int(e[i, 1])
-            w3 = 3.0 * float(w_lat[i])
-            sx = sh(nhx, dx, dy)
-            sy = sh(nhy, dx, dy)
-            if dx:
-                dx_ny = dx_ny + (w3 * dx) * sy
-                dx_nx = dx_nx + (w3 * dx) * sx
-            if dy:
-                dy_nx = dy_nx + (w3 * dy) * sx
-                dy_ny = dy_ny + (w3 * dy) * sy
+        g2 = gx * gx + gy * gy
+        safe = g2 > (_EPS * _EPS if inward else 0.0)
+        g_rinv = jnp.where(safe, jax.lax.rsqrt(jnp.where(safe, g2, 1.0)),
+                           0.0)
+        nhx = (sign * gx * g_rinv) * fl
+        nhy = (sign * gy * g_rinv) * fl
+        nhxy = jnp.stack([nhx, nhy])
+        gx_s, gy_s = _grad2d(nhxy, 1.0 / 3.0, 1.0 / 12.0)
+        dx_nx, dx_ny = gx_s[0], gx_s[1]
+        dy_nx, dy_ny = gy_s[0], gy_s[1]
         kappa = nhx * nhy * (dx_ny + dy_nx) - nhy * nhy * dx_nx \
             - nhx * nhx * dy_ny
         fx = sign * 0.5 * sigma * kappa * gx
@@ -516,38 +524,65 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             fy = fy + bfy * rho
         fx = fx * fl
         fy = fy * fl
-        return rho_safe, phi, gx, gy, fx, fy
+        return rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv
+
+    # opposite-direction pairs of the D2Q9 set (i, opp(i))
+    _PAIRS = ((1, 3), (2, 4), (5, 7), (6, 8))
+
+    def _feq_src(rho, ux, uy, fx, fy):
+        """Equilibria and Guo source terms for all 9 directions, sharing
+        the ±e symmetry: feq_i/feq_opp (and src_i/src_opp) differ only in
+        the sign of their odd-in-e part, so each pair costs one set of
+        products.  src_i = w_i[3(e-u)·F + 9e(e·u)·F] rewritten as
+        w_i[3(e·F - u·F) + 9(e·u)(e·F)]."""
+        uu = ux * ux + uy * uy
+        uf = ux * fx + uy * fy
+        base = 1.0 - 1.5 * uu
+        eu = [None, ux, uy, None, None, ux + uy, uy - ux, None, None]
+        ef = [None, fx, fy, None, None, fx + fy, fy - fx, None, None]
+        feq = [None] * 9
+        src = [None] * 9
+        feq[0] = (4.0 / 9.0) * rho * base
+        src[0] = (4.0 / 9.0) * (-3.0) * uf
+        for i, io in _PAIRS:
+            wi = float(w_lat[i])
+            wrho = wi * rho
+            eui = eu[i]
+            efi = ef[i]
+            a = wrho * (base + 4.5 * (eui * eui))
+            b = (3.0 * wrho) * eui
+            feq[i] = a + b
+            feq[io] = a - b
+            c = wi * (9.0 * eui * efi - 3.0 * uf)
+            d = (3.0 * wi) * efi
+            src[i] = c + d
+            src[io] = c - d
+        return feq, src
 
     # -- shared collision on the total PDF (returns post list) -------------
-    def _collide_total(ft, rho_r, rho_b, rho, rho_safe, phi, gx, gy, fx, fy):
+    def _collide_total(ft, rho_r, rho_b, rho, rinv, phi, gx, gy, fx, fy):
         # macroscopic velocity and tau(phi)
-        mx = jnp.zeros_like(rho)
-        my = jnp.zeros_like(rho)
-        for i in range(1, 9):
-            exi, eyi = float(e[i, 0]), float(e[i, 1])
-            fti = ft[i]
-            if exi:
-                mx = mx + exi * fti
-            if eyi:
-                my = my + eyi * fti
-        ux = (mx + 0.5 * fx) / rho_safe
-        uy = (my + 0.5 * fy) / rho_safe
+        mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
+        my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
+        ux = (mx + 0.5 * fx) * rinv
+        uy = (my + 0.5 * fy) * rinv
 
+        # inv_tau directly (one divide), tau never materialized
         if params.tau_type == 1:
-            tau_mid = 0.5 + 1.0 / ((1.0 + phi) / (2.0 * (tau_r - 0.5)) +
-                                   (1.0 - phi) / (2.0 * (tau_b - 0.5)))
+            # tau_mid = 0.5 + 1/A, A linear in phi
+            a0 = 0.5 / (tau_r - 0.5) + 0.5 / (tau_b - 0.5)
+            a1 = 0.5 / (tau_r - 0.5) - 0.5 / (tau_b - 0.5)
+            amid = a0 + a1 * phi
+            inv_mid = amid / (0.5 * amid + 1.0)
         else:
-            ratio_r_ = rho_r / rho_safe
-            ratio_b_ = rho_b / rho_safe
-            mu = 1.0 / (ratio_r_ * (3.0 / (tau_r - 0.5)) +
-                        ratio_b_ * (3.0 / (tau_b - 0.5)))
-            tau_mid = 3.0 * mu + 0.5
-        tau = jnp.where(phi > delta, tau_r,
-                        jnp.where(phi < -delta, tau_b, tau_mid))
-        inv_tau = 1.0 / tau
+            cr = 3.0 / (tau_r - 0.5)
+            cb = 3.0 / (tau_b - 0.5)
+            q = (rho_r * cr + rho_b * cb) * rinv
+            inv_mid = q / (3.0 + 0.5 * q)
+        inv_tau = jnp.where(phi > delta, 1.0 / tau_r,
+                            jnp.where(phi < -delta, 1.0 / tau_b, inv_mid))
 
-        # collision on the total PDF + Guo source (feq linear in rho)
-        uu = ux * ux + uy * uy
+        feq, src = _feq_src(rho, ux, uy, fx, fy)
         post = [None] * 9
         if is_mrt:
             # f' = f + src - M^-1 S M g with g = (f - feq) + src/2: the
@@ -555,17 +590,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # moment-transform pair serves both.
             gmats = []
             for i in range(9):
-                eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
-                feq_i = float(w_lat[i]) * rho * \
-                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-                src_i = float(w_lat[i]) * (
-                    3.0 * (float(e[i, 0]) - ux) * fx +
-                    3.0 * (float(e[i, 1]) - uy) * fy +
-                    9.0 * float(e[i, 0]) * eu * fx +
-                    9.0 * float(e[i, 1]) * eu * fy)
                 fti = ft[i]
-                gmats.append(fti - feq_i + 0.5 * src_i)
-                post[i] = fti + src_i
+                gmats.append(fti - feq[i] + 0.5 * src[i])
+                post[i] = fti + src[i]
             moments = []
             for a in range(9):
                 acc = None
@@ -595,47 +622,44 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             pref = 1.0 - 0.5 * inv_tau
             for i in range(9):
-                eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
-                feq_i = float(w_lat[i]) * rho * \
-                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-                src_i = float(w_lat[i]) * (
-                    3.0 * (float(e[i, 0]) - ux) * fx +
-                    3.0 * (float(e[i, 1]) - uy) * fy +
-                    9.0 * float(e[i, 0]) * eu * fx +
-                    9.0 * float(e[i, 1]) * eu * fy)
                 fti = ft[i]
-                post[i] = fti - (fti - feq_i) * inv_tau + pref * src_i
+                post[i] = fti - (fti - feq[i]) * inv_tau + pref * src[i]
         return post, ux, uy
 
+    def _recolor_red(post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv):
+        """LKR red components frac_r*post_i + seg_i, sharing the ±e
+        symmetry of seg (seg_opp = -seg_i)."""
+        if inward:
+            g_rinv_e = g_rinv  # already eps-guarded
+        else:
+            g_rinv_e = jnp.where(g2 > _EPS * _EPS, g_rinv, 0.0)
+        frac_r = rho_r * rinv
+        segc = (beta * rho_r * rho_b * rinv) * g_rinv_e
+        eg = [None, gx, gy, None, None, gx + gy, gy - gx, None, None]
+        fr_post = [None] * 9
+        fr_post[0] = frac_r * post[0]
+        for i, io in _PAIRS:
+            seg = (float(w_lat[i]) * segc) * eg[i]
+            fr_post[i] = frac_r * post[i] + seg
+            fr_post[io] = frac_r * post[io] - seg
+        return fr_post
+
     # -- one physics sub-step on the full window ---------------------------
-    def _substep(fr, fb, fl, wet, ns_x, ns_y):
-        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists."""
+    def _substep(fr, fb, fl, wet, ns_x, ns_y, den_inv, us):
+        """fr, fb: lists of 9 (W, nx) planes -> post-stream lists.
+        ``us`` is the list of static upwind-solid masks per direction."""
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
-        rho_safe, phi, gx, gy, fx, fy = \
-            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y)
+        rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv = \
+            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv)
         ft = [fr[i] + fb[i] for i in range(9)]
-        post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rho_safe, phi,
+        post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rinv, phi,
                                     gx, gy, fx, fy)
 
         # LKR recoloring (f_b' = post - f_r')
-        gnorm = jnp.sqrt(gx * gx + gy * gy)
-        gsafe = gnorm > _EPS
-        gnorm_s = jnp.where(gsafe, gnorm, 1.0)
-        frac_r = rho_r / rho_safe
-        seg_base = beta * rho_r * rho_b / rho_safe
-        fr_post = [None] * 9
-        fb_post = [None] * 9
-        for i in range(9):
-            if i == 0:
-                seg = 0.0
-            else:
-                eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
-                cos_enorm = jnp.where(gsafe, eg / gnorm_s, 0.0)
-                seg = seg_base * float(w_lat[i]) * cos_enorm
-            fr_post[i] = frac_r * post[i] + seg
-            fb_post[i] = post[i] - fr_post[i]
+        fr_post = _recolor_red(post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv)
+        fb_post = [post[i] - fr_post[i] for i in range(9)]
 
         # pull-streaming with half-way bounce-back on the full window
         out_r = [None] * 9
@@ -645,37 +669,23 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-            out_r[i] = jnp.where(up_solid, fr_post[io],
+            out_r[i] = jnp.where(us[i], fr_post[io],
                                  sh(fr_post[i], -dx, -dy)) * fl
-            out_b[i] = jnp.where(up_solid, fb_post[io],
+            out_b[i] = jnp.where(us[i], fb_post[io],
                                  sh(fb_post[i], -dx, -dy)) * fl
         return out_r, out_b
 
     # -- compressed sub-step: (f_total list, rho_r) -> same -----------------
-    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y):
+    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y, den_inv, us):
         rho = sum(ft)
         rho_b = rho - rho_r
-        rho_safe, phi, gx, gy, fx, fy = \
-            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y)
-        post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rho_safe, phi,
+        rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv = \
+            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv)
+        post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rinv, phi,
                                     gx, gy, fx, fy)
 
         # LKR recoloring of the red component only (blue = post - red)
-        gnorm = jnp.sqrt(gx * gx + gy * gy)
-        gsafe = gnorm > _EPS
-        gnorm_s = jnp.where(gsafe, gnorm, 1.0)
-        frac_r = rho_r / rho_safe
-        seg_base = beta * rho_r * rho_b / rho_safe
-        fr_post = [None] * 9
-        for i in range(9):
-            if i == 0:
-                seg = 0.0
-            else:
-                eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
-                cos_enorm = jnp.where(gsafe, eg / gnorm_s, 0.0)
-                seg = seg_base * float(w_lat[i]) * cos_enorm
-            fr_post[i] = frac_r * post[i] + seg
+        fr_post = _recolor_red(post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv)
 
         # pull-stream the total PDF; accumulate the streamed red density
         out_t = [None] * 9
@@ -684,10 +694,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-            out_t[i] = jnp.where(up_solid, post[io],
+            out_t[i] = jnp.where(us[i], post[io],
                                  sh(post[i], -dx, -dy)) * fl
-            rho_r_new = rho_r_new + jnp.where(up_solid, fr_post[io],
+            rho_r_new = rho_r_new + jnp.where(us[i], fr_post[io],
                                               sh(fr_post[i], -dx, -dy))
         return out_t, rho_r_new * fl
 
@@ -704,23 +713,18 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             grad_w = np.array([0.0] + [1.0] * 8)
 
-    def _substep_pert(fr, fb, fl):
+    def _substep_pert(fr, fb, fl, us):
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)
-        phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
-        mx = jnp.zeros_like(rho)
-        my = jnp.zeros_like(rho)
-        for i in range(1, 9):
-            exi, eyi = float(e[i, 0]), float(e[i, 1])
-            fti = fr[i] + fb[i]
-            if exi:
-                mx = mx + exi * fti
-            if eyi:
-                my = my + eyi * fti
-        ux = mx / rho_safe
-        uy = my / rho_safe
+        rinv = 1.0 / rho_safe
+        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
+        ft_ = [fr[i] + fb[i] for i in range(9)]
+        mx = ft_[1] - ft_[3] + ft_[5] - ft_[6] - ft_[7] + ft_[8]
+        my = ft_[2] - ft_[4] + ft_[5] + ft_[6] - ft_[7] - ft_[8]
+        ux = mx * rinv
+        uy = my * rinv
         # Grunau quadratic tau(phi)
         s1 = 2.0 * tau_r * tau_b / (tau_r + tau_b)
         s2 = 2.0 * (tau_r - s1) / delta
@@ -745,16 +749,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             post_b[i] = fb[i] - (fb[i] - feq_b) * inv_tau
         # color gradient of (rho_R - rho_B) with solidDiff on solid voxels
         diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
-        gx = jnp.zeros_like(diff)
-        gy = jnp.zeros_like(diff)
-        for i in range(1, 9):
-            dx, dy = int(e[i, 0]), int(e[i, 1])
-            wi = float(grad_w[i])
-            s = sh(diff, dx, dy)
-            if dx:
-                gx = gx + (wi * dx) * s
-            if dy:
-                gy = gy + (wi * dy) * s
+        gx, gy = _grad2d(diff, float(grad_w[1]), float(grad_w[5]))
         g2 = gx * gx + gy * gy
         gnorm = jnp.sqrt(g2)
         gsafe = g2 > 0
@@ -771,8 +766,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         e_norm[e_norm == 0] = 1.0
         safe2 = gnorm > _EPS
         gnorm_s = jnp.where(safe2, gnorm, 1.0)
-        frac_r = rho_r / rho_safe
-        seg_base = beta * rho_r * rho_b / (rho_safe * rho_safe)
+        frac_r = rho_r * rinv
+        seg_base = beta * rho_r * rho_b * (rinv * rinv)
         fr_post = [None] * 9
         fb_post = [None] * 9
         for i in range(9):
@@ -791,32 +786,26 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-            out_r[i] = jnp.where(up_solid, fr_post[io],
+            out_r[i] = jnp.where(us[i], fr_post[io],
                                  sh(fr_post[i], -dx, -dy)) * fl
-            out_b[i] = jnp.where(up_solid, fb_post[io],
+            out_b[i] = jnp.where(us[i], fb_post[io],
                                  sh(fb_post[i], -dx, -dy)) * fl
         return out_r, out_b
 
     # -- compressed Perturbation sub-step ------------------------------------
-    def _substep_pert_c(ft, rho_r, fl):
+    def _substep_pert_c(ft, rho_r, fl, us):
         """Per-color BGK collision is linear in the PDFs with a shared
         tau(phi), so the total-PDF update needs only (rho_r, rho_b):
         feq_tot_i = rho_r c_r_i + rho_b c_b_i + rho quad_i."""
         rho = sum(ft)
         rho_b = rho - rho_r
         rho_safe = jnp.where(rho > 0, rho, 1.0)
-        phi = jnp.where(rho != 0, (rho_r - rho_b) / rho_safe, 0.0) * fl
-        mx = jnp.zeros_like(rho)
-        my = jnp.zeros_like(rho)
-        for i in range(1, 9):
-            exi, eyi = float(e[i, 0]), float(e[i, 1])
-            if exi:
-                mx = mx + exi * ft[i]
-            if eyi:
-                my = my + eyi * ft[i]
-        ux = mx / rho_safe
-        uy = my / rho_safe
+        rinv = 1.0 / rho_safe
+        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
+        mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
+        my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
+        ux = mx * rinv
+        uy = my * rinv
         s1 = 2.0 * tau_r * tau_b / (tau_r + tau_b)
         s2 = 2.0 * (tau_r - s1) / delta
         s3 = -s2 / (2.0 * delta)
@@ -836,16 +825,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             feq_t = rho_r * float(c_r[i]) + rho_b * float(c_b[i]) + rho * quad
             post[i] = ft[i] - (ft[i] - feq_t) * inv_tau
         diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
-        gx = jnp.zeros_like(diff)
-        gy = jnp.zeros_like(diff)
-        for i in range(1, 9):
-            dx, dy = int(e[i, 0]), int(e[i, 1])
-            wi = float(grad_w[i])
-            s = sh(diff, dx, dy)
-            if dx:
-                gx = gx + (wi * dx) * s
-            if dy:
-                gy = gy + (wi * dy) * s
+        gx, gy = _grad2d(diff, float(grad_w[1]), float(grad_w[5]))
         g2 = gx * gx + gy * gy
         gnorm = jnp.sqrt(g2)
         gsafe = g2 > 0
@@ -860,8 +840,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         e_norm[e_norm == 0] = 1.0
         safe2 = gnorm > _EPS
         gnorm_s = jnp.where(safe2, gnorm, 1.0)
-        frac_r = rho_r / rho_safe
-        seg_base = beta * rho_r * rho_b / (rho_safe * rho_safe)
+        frac_r = rho_r * rinv
+        seg_base = beta * rho_r * rho_b * (rinv * rinv)
         fr_post = [None] * 9
         for i in range(9):
             eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
@@ -875,10 +855,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-            out_t[i] = jnp.where(up_solid, post[io],
+            out_t[i] = jnp.where(us[i], post[io],
                                  sh(post[i], -dx, -dy)) * fl
-            rho_r_new = rho_r_new + jnp.where(up_solid, fr_post[io],
+            rho_r_new = rho_r_new + jnp.where(us[i], fr_post[io],
                                               sh(fr_post[i], -dx, -dy))
         return out_t, rho_r_new * fl
 
@@ -895,9 +874,10 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         stoich = tuple(float(s) for s in tp.reaction_stoich)
         crit = float(tp.criteria)
 
-    def _transport_substep(g, fl, rows_g, ux, uy, gx, gy, rho_r):
+    def _transport_substep(g, fl, rows_g, ux, uy, gx, gy, rho_r, us5):
         """g: list over NT of lists of 5 planes -> advanced tracer PDFs
-        (mirrors ``TransportRK._transport_substep``)."""
+        (mirrors ``TransportRK._transport_substep``); ``us5`` are the
+        static upwind-solid masks for the four D2Q5 moving directions."""
         conc = [sum(g[t]) for t in range(NT)]
         in_dom = rho_r < crit
         # SRT J-scheme collision
@@ -945,8 +925,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for i in range(1, 5):
                 dx, dy = int(E5[i, 0]), int(E5[i, 1])
                 io = int(OPP5[i])
-                up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-                new.append(jnp.where(up_solid, g[t][io],
+                new.append(jnp.where(us5[i], g[t][io],
                                      sh(g[t][i], -dx, -dy)) * fl)
             g[t] = new
         # hard interface bounce-back (post-stream repair)
@@ -1018,6 +997,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         wet = geo[1]
         ns_x = geo[2]
         ns_y = geo[3]
+        den_inv = geo[4]
+        # static upwind-solid masks, hoisted out of the sub-step loop
+        solid = 1.0 - fl
+        us = [None] + [sh(solid, -int(e[i, 0]), -int(e[i, 1])) > 0.5
+                       for i in range(1, 9)]
+        if has_transport:
+            us5 = [None] + [
+                sh(solid, -int(E5[i, 0]), -int(E5[i, 1])) > 0.5
+                for i in range(1, 5)]
 
         if compressed:
             s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
@@ -1032,11 +1020,19 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             gwin = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=2)
             g = [[gwin[t, i] for i in range(5)] for t in range(NT)]
         rows_g = None
+        is_edge = None
         if need_rows:
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             off = row0_ref[0] if is_local else 0
             rows_g = (off + i0 * R - H + r_iota) % ny
+            # does this window contain any BC row? (scalar predicate: the
+            # inlet/outlet rewrites then run only on edge strips)
+            start = (off + i0 * R - H) % ny
+            is_edge = False
+            for k in (0, 1, 2, ny - 2, ny - 1):
+                hit = ((k - start) % ny) < W
+                is_edge = jnp.logical_or(is_edge, hit)
         for _ in range(T):
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
@@ -1044,35 +1040,40 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 rho_r_ = sum(fr)
                 rho_b_ = sum(fb)
                 rho_ = rho_r_ + rho_b_
-                rho_safe_, _, gx_, gy_, fx_, fy_ = \
-                    _fields(rho_r_, rho_b_, rho_, fl, wet, ns_x, ns_y)
-                mx_ = jnp.zeros_like(rho_r_)
-                my_ = jnp.zeros_like(rho_r_)
-                for i in range(1, 9):
-                    exi, eyi = float(e[i, 0]), float(e[i, 1])
-                    fti = fr[i] + fb[i]
-                    if exi:
-                        mx_ = mx_ + exi * fti
-                    if eyi:
-                        my_ = my_ + eyi * fti
-                ux_ = (mx_ + 0.5 * fx_) / rho_safe_
-                uy_ = (my_ + 0.5 * fy_) / rho_safe_
+                _, rinv_, _, gx_, gy_, fx_, fy_, _, _ = \
+                    _fields(rho_r_, rho_b_, rho_, fl, wet, ns_x, ns_y,
+                            den_inv)
+                ft_ = [fr[i] + fb[i] for i in range(9)]
+                mx_ = ft_[1] - ft_[3] + ft_[5] - ft_[6] - ft_[7] + ft_[8]
+                my_ = ft_[2] - ft_[4] + ft_[5] + ft_[6] - ft_[7] - ft_[8]
+                ux_ = (mx_ + 0.5 * fx_) * rinv_
+                uy_ = (my_ + 0.5 * fy_) * rinv_
                 g = _transport_substep(g, fl, rows_g, ux_, uy_, gx_, gy_,
-                                       rho_r_)
+                                       rho_r_, us5)
             if compressed:
                 if has_bcs:
-                    ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, rows_g)
+                    ft, rho_r = jax.lax.cond(
+                        is_edge,
+                        lambda a: _apply_bcs_window_c(a[0], a[1], fl, rows_g),
+                        lambda a: (list(a[0]), a[1]),
+                        (tuple(ft), rho_r))
                 if is_pert:
-                    ft, rho_r = _substep_pert_c(ft, rho_r, fl)
+                    ft, rho_r = _substep_pert_c(ft, rho_r, fl, us)
                 else:
-                    ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y)
+                    ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y,
+                                           den_inv, us)
             else:
                 if has_bcs:
-                    fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
+                    fr, fb = jax.lax.cond(
+                        is_edge,
+                        lambda a: _apply_bcs_window(a[0], a[1], fl, rows_g),
+                        lambda a: (list(a[0]), list(a[1])),
+                        (tuple(fr), tuple(fb)))
                 if is_pert:
-                    fr, fb = _substep_pert(fr, fb, fl)
+                    fr, fb = _substep_pert(fr, fb, fl, us)
                 else:
-                    fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y)
+                    fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y,
+                                      den_inv, us)
         if compressed:
             out_s = outs[0]
             for i in range(9):
@@ -1149,7 +1150,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=100 * 1024 * 1024,
-        dimension_semantics=("arbitrary",))
+        dimension_semantics=("parallel",))
     if is_local:
         call = pl.pallas_call(
             kernel,
