@@ -38,34 +38,42 @@ def main():
                             dtype=jnp.float32)
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_rows=100)
 
-    # temporally-blocked fused Pallas kernel: 4 time steps per launch with
-    # the boundary rows applied in-kernel (models/colorgradient
-    # make_block_step); falls back to the single-step path off-TPU.
+    # temporally-blocked fused Pallas kernel on the compressed 10-plane
+    # (f_total, rho_r) state: 4 time steps per launch with the boundary
+    # rows applied in-kernel (models/colorgradient make_block_step);
+    # falls back to the single-step split path off-TPU.
     t_block = 4
-    block = model.make_block_step(steps_per_call=t_block, rows_per_block=64)
-    if block is None:
+    block = model.make_block_step(steps_per_call=t_block, rows_per_block=256,
+                                  compressed=True)
+    if block is not None:
+        state = (model.pack_state(f_r, f_b),)
+    else:
         t_block = 1
         block = model._step_impl
+        state = (f_r, f_b)
 
-    def steps(n_calls, f_r, f_b):
+    def steps(n_calls, *s):
         def body(_, s):
-            return block(*s)
-        return jax.lax.fori_loop(0, n_calls, body, (f_r, f_b))
+            out = block(*s)
+            return out if isinstance(out, tuple) else (out,)
+        return jax.lax.fori_loop(0, n_calls, body, s)
 
-    run = jax.jit(steps, static_argnums=0, donate_argnums=(1, 2))
+    run = jax.jit(steps, static_argnums=0,
+                  donate_argnums=tuple(range(1, 1 + len(state))))
 
     # warmup + compile with the SAME call count as the timed run: each
     # distinct static n compiles a separate executable, so warming with a
     # different n would leave the timed call paying a full compile.
     n_steps = 600  # ~0.4 s timed region: stable against tunnel jitter
     n_calls = n_steps // t_block
-    f_r, f_b = run(n_calls, f_r, f_b)
-    jax.block_until_ready((f_r, f_b))
+    state = run(n_calls, *state)
+    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
-    f_r, f_b = run(n_calls, f_r, f_b)
-    jax.block_until_ready((f_r, f_b))
+    state = run(n_calls, *state)
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(state[0]).all())
 
     sites = int(np.prod((ny, nx)))
     mlups = sites * n_steps / dt / 1e6

@@ -71,11 +71,14 @@ def _halo_rows(steps_per_call: int, variant: str = "CSF",
 
 
 def pick_rows_per_block(ny: int, nx: int, steps_per_call: int = 1,
-                        target_vmem_mb: float = 32.0,
-                        variant: str = "CSF", planes: int = 60) -> int:
-    """Largest R dividing ny, multiple of H, under the VMEM budget (rough
-    model: ~`planes` f32 planes of (R + 2H, nx); the compressed 10-plane
-    state needs ~36)."""
+                        target_vmem_mb: float = 110.0,
+                        variant: str = "CSF", planes: int = 150) -> int:
+    """Largest R dividing ny, multiple of H, under the VMEM budget.
+
+    The model `planes` x (R + 2H) x nx f32 is calibrated against Mosaic's
+    actual scoped-vmem usage (the compressed T=4 kernel at R=256/nx=1024
+    allocates ~106 MB -> ~95 planes; v5e VMEM is 128 MB and the kernels
+    request a 120 MB limit)."""
     h = _halo_rows(steps_per_call, variant)
     best = 0
     for r in range(h, ny + 1, h):
@@ -201,7 +204,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     H = _halo_rows(T, variant, tr_mode if has_transport else None)
     if rows_per_block is None:
         rows_per_block = pick_rows_per_block(
-            grid_ny, nx, T, variant=variant, planes=36 if compressed else 60)
+            grid_ny, nx, T, variant=variant, planes=90 if compressed else 150)
     R = rows_per_block
     if not R or grid_ny % R or R % H:
         return None
@@ -1149,7 +1152,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_shape.append(jax.ShapeDtypeStruct((NT, 5, ny, nx), dtype))
 
     compiler_params = pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024,
+        vmem_limit_bytes=120 * 1024 * 1024,
         dimension_semantics=("parallel",))
     if is_local:
         call = pl.pallas_call(
