@@ -110,8 +110,17 @@ class ShanChenMCMP:
             # per-fluid M^-1 S M collision matrices (``ShanChenD2Q9.py:484-498``)
             self._mrt_s = [col.mrt_relaxation_d2q9_sc(t) for t in self.tau]
         ny = geometry.ny
+        # ghost-row depth of the open-boundary choreography: the EFS
+        # iso-8/iso-10 force stencils reach 2/3 cells, so the Zou-He row
+        # moves inward and 2/3 ghost rows are re-copied from it (the
+        # reference's `...Higher8` / `ghostPoints...{8,82}` kernel variants,
+        # ``ExplicitD2Q9GPU.py:392-625``).
+        self._bc_depth = ({4: 1, 8: 2, 10: 3}[params.iso_order]
+                          if params.scheme == "EFS" else 1)
+        d = self._bc_depth
+        rows = set(range(0, d + 3)) | {ny - 1 - k for k in range(d + 1)}
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
-                           for r in (0, 1, 2, 3, ny - 1, ny - 2)}
+                           for r in rows}
         self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=0)
 
@@ -265,35 +274,41 @@ class ShanChenMCMP:
 
     # ------------------------------------------------------------------
     def _apply_inlet(self, f):
-        ny = self.geo.ny
+        """Inlet rewrite at row ny-1-d plus d ghost-row copies, d = the
+        iso-order stencil depth (1/2/3 for iso-4/8/10)."""
+        ny, d = self.geo.ny, self._bc_depth
+        row = ny - 1 - d
         if self.bcs.inlet == "zou_he_velocity":
             v = jnp.asarray(self.bcs.inlet_velocity,
                             self.dtype).reshape(-1, 1)
-            f, _ = bc.zou_he_velocity_top(f, v, ny - 2,
-                                          self._row_masks[ny - 2])
-            f = bc.copy_row(f, ny - 1, ny - 2, self._row_masks[ny - 1])
+            f, _ = bc.zou_he_velocity_top(f, v, row, self._row_masks[row])
+            for g in range(row + 1, ny):
+                f = bc.copy_row(f, g, row, self._row_masks[g])
         elif self.bcs.inlet == "zou_he_pressure":
             rho_t = jnp.asarray(self.bcs.inlet_density,
                                 self.dtype).reshape(-1, 1)
-            f = bc.zou_he_pressure_top(f, rho_t, ny - 2,
-                                       self._row_masks[ny - 2])
-            f = bc.copy_row(f, ny - 1, ny - 2, self._row_masks[ny - 1])
+            f = bc.zou_he_pressure_top(f, rho_t, row, self._row_masks[row])
+            for g in range(row + 1, ny):
+                f = bc.copy_row(f, g, row, self._row_masks[g])
         return f
 
     def _apply_outlet(self, f, f_old, vy_out=None):
+        d = self._bc_depth
         if self.bcs.outlet == "zou_he_pressure":
             rho_t = jnp.asarray(self.bcs.outlet_density,
                                 self.dtype).reshape(-1, 1)
-            f = bc.zou_he_pressure_bottom(f, rho_t, 1, self._row_masks[1])
-            f = bc.copy_row(f, 0, 1, self._row_masks[0])
+            f = bc.zou_he_pressure_bottom(f, rho_t, d, self._row_masks[d])
+            for g in range(d - 1, -1, -1):
+                f = bc.copy_row(f, g, d, self._row_masks[g])
         elif self.bcs.outlet == "convective":
+            rows = tuple(range(d + 1, -1, -1))
             f = bc.copy_rows_from_above(
-                f, (2, 1, 0),
-                (self._row_masks[2], self._row_masks[1], self._row_masks[0]))
+                f, rows, tuple(self._row_masks[r] for r in rows))
         elif self.bcs.outlet == "convective_true" and f_old is not None:
+            rows = tuple(range(d + 1, -1, -1))
             f = bc.convective_outlet_rows(
-                f, f_old, vy_out, (2, 1, 0),
-                (self._row_masks[2], self._row_masks[1], self._row_masks[0]))
+                f, f_old, vy_out, rows,
+                tuple(self._row_masks[r] for r in rows))
         return f
 
     def _step_impl(self, f):

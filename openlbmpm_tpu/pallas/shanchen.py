@@ -40,11 +40,12 @@ _W = D2Q9.w
 _OPP = D2Q9.opp
 
 
-def _halo_rows(steps_per_call: int, rings: int = 2) -> int:
-    # `rings` per sub-step (force stencil radius + stream), plus 4 rows so
-    # the deepest BC source row (outlet row 2 reads row 3) stays valid
-    # through the last sub-step's post-stream outlet rewrite.
-    need = rings * steps_per_call + 4
+def _halo_rows(steps_per_call: int, rings: int = 2, radius: int = 1) -> int:
+    # `rings` per sub-step (force stencil radius + stream), plus margin so
+    # the deepest BC source row (convective outlet row radius+1 reads row
+    # radius+2; inlet ghost chain is `radius` copies) stays valid through
+    # the last sub-step's post-stream outlet rewrite.
+    need = rings * steps_per_call + 2 * radius + 2
     return ((need + 7) // 8) * 8
 
 
@@ -67,7 +68,7 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     T = int(steps_per_call)
     iso = int(getattr(params, "iso_order", 4)) if is_efs else 4
     radius = {4: 1, 8: 2, 10: 3}[iso]
-    H = _halo_rows(T, rings=(radius + 1) if is_efs else 2)
+    H = _halo_rows(T, rings=(radius + 1) if is_efs else 2, radius=radius)
     if rows_per_block is None:
         for r in (128, 64, 32, 16, 8):
             if ny % r == 0 and r % H == 0:
@@ -149,10 +150,13 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     sh = functools.partial(_sh, nx=nx, w=W)
 
     def _apply_inlet_window(f, fl, rows_g):
-        """f: list over K of lists over 9 planes."""
+        """f: list over K of lists over 9 planes.  BC row sits `radius`
+        rows inside (iso-8/10 ghost depth, matching
+        ``ShanChenMCMP._apply_inlet``)."""
         flb = fl > 0.5
+        bc_row = ny - 1 - radius
         if inlet_kind == "zou_he_velocity":
-            m = jnp.logical_and(rows_g == ny - 2, flb)
+            m = jnp.logical_and(rows_g == bc_row, flb)
             for k in range(K):
                 vy = inlet_v[k % len(inlet_v)]
                 fk = f[k]
@@ -163,7 +167,7 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fk[7] = jnp.where(m, fk[5] + d13 - rho * vy / 6.0, fk[7])
                 fk[8] = jnp.where(m, fk[6] - d13 - rho * vy / 6.0, fk[8])
         elif inlet_kind == "zou_he_pressure":
-            m = jnp.logical_and(rows_g == ny - 2, flb)
+            m = jnp.logical_and(rows_g == bc_row, flb)
             for k in range(K):
                 rt = inlet_rho[k % len(inlet_rho)] or 1.0
                 fk = f[k]
@@ -175,16 +179,19 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fk[7] = jnp.where(m, fk[5] + d13 - rv / 6.0, fk[7])
                 fk[8] = jnp.where(m, fk[6] - d13 - rv / 6.0, fk[8])
         if inlet_kind != "periodic":
-            m = jnp.logical_and(rows_g == ny - 1, flb)
-            for k in range(K):
-                for i in range(9):
-                    f[k][i] = jnp.where(m, _rolly(f[k][i], -1, W), f[k][i])
+            # ghost rows copy the BC row (row g reads g-1 repeatedly)
+            for g in range(bc_row + 1, ny):
+                m = jnp.logical_and(rows_g == g, flb)
+                for k in range(K):
+                    for i in range(9):
+                        f[k][i] = jnp.where(m, _rolly(f[k][i], -1, W),
+                                            f[k][i])
         return f
 
     def _apply_outlet_window(f, fl, rows_g):
         flb = fl > 0.5
         if outlet_kind == "zou_he_pressure":
-            m = jnp.logical_and(rows_g == 1, flb)
+            m = jnp.logical_and(rows_g == radius, flb)
             for k in range(K):
                 rt = outlet_rho[k % len(outlet_rho)] or 1.0
                 fk = f[k]
@@ -195,12 +202,14 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fk[2] = jnp.where(m, fk[4] + (2.0 / 3.0) * rv, fk[2])
                 fk[5] = jnp.where(m, fk[7] + d31 + rv / 6.0, fk[5])
                 fk[6] = jnp.where(m, fk[8] - d31 + rv / 6.0, fk[6])
-            m = jnp.logical_and(rows_g == 0, flb)
-            for k in range(K):
-                for i in range(9):
-                    f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W), f[k][i])
+            for g in range(radius - 1, -1, -1):
+                m = jnp.logical_and(rows_g == g, flb)
+                for k in range(K):
+                    for i in range(9):
+                        f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W),
+                                            f[k][i])
         elif outlet_kind == "convective":
-            for row in (2, 1, 0):
+            for row in range(radius + 1, -1, -1):
                 m = jnp.logical_and(rows_g == row, flb)
                 for k in range(K):
                     for i in range(9):

@@ -219,3 +219,108 @@ def test_compressed_state_matches_split(variant, collision):
     rho_r_b, rho_b_b, phi_b, (ux_b, uy_b) = m.macro_c(s)
     assert float(jnp.max(jnp.abs(rho_r_a - rho_r_b))) < 1e-12
     assert float(jnp.max(jnp.abs(ux_a - ux_b))) < 1e-12
+
+
+def _washburn_run(tau_b, steps=2400, ny=96, nx=32, w=8, theta=45.0,
+                  sigma=0.05):
+    """Capillary intrusion into a slot of width `w`; returns (t, l(t))
+    sampled every 100 steps, l = red mass in the slot / w."""
+    c0 = (nx - w) // 2
+    slot_top = ny - 28
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    solid[:slot_top, 1:c0] = True
+    solid[:slot_top, c0 + w:-1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=sigma,
+        contact_angle_deg=theta, wetting_type=2, beta=0.7, tau_type=2,
+        tau_r=1.0, tau_b=tau_b)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params,
+                            CGBoundaryConfig(), dtype=jnp.float64)
+    state = model.init_state_layers(1.0, 1.0,
+                                    invading_rows=ny - slot_top - 4)
+    m0 = np.asarray(jnp.sum(state[0], axis=0))[:slot_top, c0:c0 + w].sum()
+    import jax
+    step = jax.jit(model._step_impl)
+    ts, ls = [], []
+    s = state
+    for k in range(steps // 100):
+        for _ in range(100):
+            s = step(*s)
+        rho_r = np.asarray(jnp.sum(s[0], axis=0))
+        ls.append((rho_r[:slot_top, c0:c0 + w].sum() - m0) / w)
+        ts.append((k + 1) * 100)
+    return np.array(ts, float), np.array(ls), slot_top
+
+
+@pytest.mark.slow
+def test_washburn_capillary_rise_viscosity_ratio_001():
+    """Quantitative Washburn validation at viscosity ratio 0.01 — the
+    reference's flagship accuracy artifact (``/root/reference/README.md:
+    58-60``, ``ExampleImages/CapillaryRise.gif``).
+
+    A wetting fluid (theta=45, tau_r=1) intrudes a width-8 slot displacing
+    a 100x-less-viscous fluid (tau_b=0.505).  Washburn's law for a 2D slot
+    predicts d(l^2)/dt = w sigma cos(theta) / (3 mu_inv), constant in
+    time.  Asserts (a) the l^2-vs-t fit is linear to R^2 > 0.995 (the
+    sqrt-t law), (b) the slope is within the band expected after the
+    Cox-Voinov dynamic-contact-angle reduction at Ca ~ 0.02 and the
+    half-way-wall effective width (measured 0.41x ideal; band 0.25-0.75),
+    and (c) an equal-viscosity control (ratio 1) intrudes measurably
+    slower, confirming the displaced-fluid drag physics."""
+    w, theta, sigma = 8, 45.0, 0.05
+    ts, ls, slot_top = _washburn_run(tau_b=0.505)
+    mask = (ls > 1.5 * w) & (ls < slot_top - 10)
+    assert mask.sum() >= 8, "front never traversed the fit window"
+    A = np.vstack([ts[mask], np.ones(mask.sum())]).T
+    coef, *_ = np.linalg.lstsq(A, ls[mask] ** 2, rcond=None)
+    pred = A @ coef
+    l2 = ls[mask] ** 2
+    r2 = 1.0 - ((l2 - pred) ** 2).sum() / ((l2 - l2.mean()) ** 2).sum()
+    mu_inv = (1.0 - 0.5) / 3.0
+    slope_ideal = w * sigma * np.cos(np.radians(theta)) / (3.0 * mu_inv)
+    ratio = coef[0] / slope_ideal
+    assert r2 > 0.995, r2
+    assert 0.25 < ratio < 0.75, (coef[0], slope_ideal, ratio)
+    # equal-viscosity control: same drive, much larger displaced-fluid
+    # drag -> clearly slower front at the same step count
+    _, ls_ctrl, _ = _washburn_run(tau_b=1.0)
+    assert ls[-1] > 1.5 * ls_ctrl[-1], (ls[-1], ls_ctrl[-1])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dtype", ["f32", "f64"])
+def test_contact_angle_150_viscosity_contrast_100(dtype):
+    """Static contact angle 150 deg at viscosity contrast M=100 — the
+    reference's showcase artifact (``/root/reference/README.md:54-57``,
+    ``ExampleImages/ContactAngle150M100.png``).  Non-wetting droplet
+    (tau_r=2.0) in ambient fluid at tau_b=0.515 (nu ratio 100); the
+    spherical-cap fit must recover theta within 15 deg."""
+    import jax
+    n = 64
+    solid = np.zeros((n, n), bool)
+    solid[:2, :] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.01,
+        contact_angle_deg=150.0, wetting_type=2, tau_type=2,
+        tau_r=2.0, tau_b=0.515)
+    dt = jnp.float32 if dtype == "f32" else jnp.float64
+    model = ColorGradientRK(geo.from_solid_mask(solid), params,
+                            CGBoundaryConfig(), dtype=dt)
+    state = model.init_state_droplet(1.0, 1.0, center=(2.0, n / 2),
+                                     radius=12.0)
+    step = jax.jit(model._step_impl)
+    s = state
+    for _ in range(5000):
+        s = step(*s)
+    assert bool(jnp.isfinite(s[0]).all())
+    _, _, phi, _ = model.macro(s)
+    phi = np.asarray(phi)
+    drop = phi > 0.0
+    drop[:2, :] = False
+    base = drop[2, :].sum()
+    height = drop[:, n // 2].sum()
+    assert base >= 4 and height >= 4, (base, height)
+    r_cap = (base ** 2 / 4.0 + height ** 2) / (2.0 * height)
+    meas = np.degrees(np.arccos(np.clip((r_cap - height) / r_cap, -1, 1)))
+    assert abs(meas - 150.0) < 15.0, meas

@@ -123,7 +123,7 @@ def test_sc_true_convective_outlet():
     solid[:, 0] = solid[:, -1] = True
     bcs = SCBoundaryConfig(inlet="zou_he_velocity",
                            outlet="convective_true",
-                           inlet_velocity=(-2e-3, 0.0))
+                           inlet_velocity=(-5e-3, 0.0))
     params = _two_fluid_params("SC", g_solid=(-0.3, 0.3))
     model = ShanChenMCMP(geo.from_solid_mask(solid), params, bcs,
                          dtype=jnp.float64)
@@ -135,3 +135,58 @@ def test_sc_true_convective_outlet():
     # the invading fluid front has advanced downward
     r0 = np.asarray(rho_k[0])
     assert (r0[:40] > 0.5).any() or r0[40:].mean() > 0.3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("iso", [8, 10])
+@pytest.mark.parametrize("dtype", ["f32", "f64"])
+def test_efs_viscosity_ratio_1000(iso, dtype):
+    """EFS selling point: stability at viscosity ratio M~1000 with the
+    iso-8/iso-10 stencils + MRT (``/root/reference/README.md:6``).
+    tau = (2.0, 0.5015) -> nu ratio 1000.  The droplet must stay phase
+    separated, finite, and mass-conserving."""
+    n = 40
+    params = ShanChenParams(
+        g_matrix=((0.0, 0.20), (0.20, 0.0)), g_solid=(0.0, 0.0),
+        tau=(2.0, 0.5015), scheme="EFS", iso_order=iso, collision="MRT")
+    dt = jnp.float32 if dtype == "f32" else jnp.float64
+    model = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)),
+                         params, dtype=dt)
+    f = model.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=9.0)
+    m0 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    f = run_chunked(model.step, f, num_steps=1500, io_interval=500)
+    rho_k, _ = model.macro(f)
+    rho_k = np.asarray(rho_k)
+    assert np.isfinite(rho_k).all()
+    assert rho_k[0, n // 2, n // 2] > 0.5       # droplet core intact
+    assert rho_k[0, 3, 3] < 0.3                 # ambient stays fluid 1
+    m1 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    rtol = 1e-12 if dtype == "f64" else 2e-4  # f32 sum noise over 1500 steps
+    np.testing.assert_allclose(m1, m0, rtol=rtol)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("iso", [8, 10])
+def test_efs_open_boundaries_iso_depth(iso):
+    """Open-boundary ghost-row choreography at iso-8/10 depth: the Zou-He
+    inlet row moves `radius` rows inside and the ghost rows re-copy it
+    (``ExplicitD2Q9GPU.py:392-625`` row offsets).  A velocity-driven EFS
+    displacement with convective outlet must stay finite and admit flux."""
+    ny, nx = 96, 40
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ShanChenParams(
+        g_matrix=((0.0, 0.20), (0.20, 0.0)), g_solid=(-0.1, 0.1),
+        tau=(1.0, 0.55), scheme="EFS", iso_order=iso, collision="MRT")
+    bcs = SCBoundaryConfig(inlet="zou_he_velocity", outlet="convective",
+                           inlet_velocity=(-5e-3, 0.0))
+    model = ShanChenMCMP(geo.from_solid_mask(solid), params, bcs,
+                         dtype=jnp.float64)
+    f = model.init_state_layers((1.0, 1.0), (0.02, 0.02), invading_rows=30)
+    rho0 = np.asarray(jnp.sum(f[0], axis=0))
+    front0 = (rho0 > 0.5).sum()
+    f = run_chunked(model.step, f, num_steps=2000, io_interval=1000)
+    assert bool(jnp.isfinite(f).all())
+    rho = np.asarray(jnp.sum(f[0], axis=0))
+    # invading fluid advanced into the domain
+    assert (rho > 0.5).sum() > front0 * 1.2, ((rho > 0.5).sum(), front0)
