@@ -358,7 +358,11 @@ class ColorGradientRK:
         feq_tot = eq.feq_rk_original(self.lat, rho_r, (ux, uy),
                                      self.const_cr) + \
             eq.feq_rk_original(self.lat, rho_b, (ux, uy), self.const_cb)
-        f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
+        if self.p.collision == "MRT":
+            f_tot = col.mrt_variable_nu(f_tot, feq_tot, self.lat,
+                                        self._mrt_s, 1.0 / tau)
+        else:
+            f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
         gx, gy = self._pert_gradient(rho_r, rho_b)
         f_tot = f_tot + cg.perturbation(
             gx, gy, self.p.a_kr + self.p.a_kb, cg.B_CONSTANTS, self.lat)
@@ -461,8 +465,17 @@ class ColorGradientRK:
                                    self.p.delta)
         feq_r = eq.feq_rk_original(self.lat, rho_r, (ux, uy), self.const_cr)
         feq_b = eq.feq_rk_original(self.lat, rho_b, (ux, uy), self.const_cb)
-        f_r = col.bgk_field_tau(f_r, feq_r, tau)
-        f_b = col.bgk_field_tau(f_b, feq_b, tau)
+        if self.p.collision == "MRT":
+            # per-color moment-space collision with the shared tau(phi)
+            # (``calRKCollision1GPU2DMRT``, AcceleratedRKGPU2D.py:429)
+            inv_tau = 1.0 / tau
+            f_r = col.mrt_variable_nu(f_r, feq_r, self.lat, self._mrt_s,
+                                      inv_tau)
+            f_b = col.mrt_variable_nu(f_b, feq_b, self.lat, self._mrt_s,
+                                      inv_tau)
+        else:
+            f_r = col.bgk_field_tau(f_r, feq_r, tau)
+            f_b = col.bgk_field_tau(f_b, feq_b, tau)
         # perturbation + recoloring on the per-color PDFs
         gx, gy = self._pert_gradient(rho_r, rho_b)
         f_r = f_r + cg.perturbation(gx, gy, self.p.a_kr, cg.B_CONSTANTS,

@@ -125,9 +125,9 @@ class ShanChenMCMP:
         self._step = jax.jit(self._step_impl, donate_argnums=0)
 
     def _build_fused(self, use_pallas):
-        """Fused Pallas step (original SC with SRT, or EFS with SRT/MRT;
-        psi=rho, TPU); the jnp path remains for SC+MRT, P-R EOS, CPU, and
-        sharded meshes."""
+        """Fused Pallas step: original SC or EFS, SRT or MRT, psi = rho or
+        Peng-Robinson (TPU); the jnp path remains for CPU, interpret-mode
+        checks, and sharded meshes."""
         if not use_pallas:
             return None
         if use_pallas == "auto":
@@ -232,8 +232,14 @@ class ShanChenMCMP:
         ueq_x = upx[None] + tau_b * fx / rho_safe
         ueq_y = upy[None] + tau_b * fy / rho_safe
         feq = eq.feq_quadratic(self.lat, rho_k, (ueq_x, ueq_y))
-        tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
-        f = f - (f - feq) / tau_q
+        if self.p.collision == "MRT":
+            # moment-space relaxation toward feq(u_eq): the SC forcing is
+            # entirely in the shifted equilibrium velocity
+            f = jnp.stack([col.mrt(f[i], feq[i], self.lat, self._mrt_s[i])
+                           for i in range(self.k)])
+        else:
+            tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
+            f = f - (f - feq) / tau_q
         f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
         f = self._apply_outlet(f, f_old, vy_out)
         return f

@@ -184,8 +184,6 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     variant = params.variant
     is_pert = variant == "Perturbation"
     compressed = state_mode == "compressed"
-    if is_pert and params.collision != "SRT":
-        return None  # Perturbation MRT stays on the jnp path
     tp = transport_params
     has_transport = tp is not None
     if has_transport:
@@ -532,6 +530,42 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     # opposite-direction pairs of the D2Q9 set (i, opp(i))
     _PAIRS = ((1, 3), (2, 4), (5, 7), (6, 8))
 
+    def _mrt_relax(dlist, inv_tau):
+        """M^-1 S M applied to the 9-plane list `dlist`, with the RK base
+        relaxation vector (s1=1.64, s2=1.54, s4=s6=1.9,
+        ``RKD2Q9.py:308-340``) and the pointwise 1/tau(x) on the shear
+        moments; zero rows (conserved moments) are skipped.  Returns the
+        list of corrections to subtract."""
+        moments = []
+        for a in range(9):
+            acc = None
+            for b in range(9):
+                c = float(M[a, b])
+                if c == 0.0:
+                    continue
+                term = dlist[b] if c == 1.0 else c * dlist[b]
+                acc = term if acc is None else acc + term
+            moments.append(acc)
+        for a in (7, 8):
+            moments[a] = moments[a] * inv_tau
+        for a in (0, 3, 5):
+            moments[a] = None  # s = 0 on conserved moments
+        for a in (1, 2, 4, 6):
+            moments[a] = moments[a] * float(s_base[a])
+        corr = [None] * 9
+        for i in range(9):
+            acc = None
+            for a in range(9):
+                if moments[a] is None:
+                    continue
+                c = float(M_inv[i, a])
+                if c == 0.0:
+                    continue
+                t = moments[a] if c == 1.0 else c * moments[a]
+                acc = t if acc is None else acc + t
+            corr[i] = acc
+        return corr
+
     def _feq_src(rho, ux, uy, fx, fy):
         """Equilibria and Guo source terms for all 9 directions, sharing
         the ±e symmetry: feq_i/feq_opp (and src_i/src_opp) differ only in
@@ -591,37 +625,10 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # f' = f + src - M^-1 S M g with g = (f - feq) + src/2: the
             # collision and the (I - S/2) force correction share S, so one
             # moment-transform pair serves both.
-            gmats = []
+            gmats = [ft[i] - feq[i] + 0.5 * src[i] for i in range(9)]
+            corr = _mrt_relax(gmats, inv_tau)
             for i in range(9):
-                fti = ft[i]
-                gmats.append(fti - feq[i] + 0.5 * src[i])
-                post[i] = fti + src[i]
-            moments = []
-            for a in range(9):
-                acc = None
-                for b in range(9):
-                    c = float(M[a, b])
-                    if c == 0.0:
-                        continue
-                    term = gmats[b] if c == 1.0 else c * gmats[b]
-                    acc = term if acc is None else acc + term
-                moments.append(acc)
-            for a in (7, 8):
-                moments[a] = moments[a] * inv_tau
-            for a in (0, 3, 5):
-                moments[a] = None  # s = 0 on conserved moments
-            for a in (1, 2, 4, 6):
-                moments[a] = moments[a] * float(s_base[a])
-            for i in range(9):
-                acc = post[i]
-                for a in range(9):
-                    if moments[a] is None:
-                        continue
-                    c = float(M_inv[i, a])
-                    if c == 0.0:
-                        continue
-                    acc = acc - (moments[a] if c == 1.0 else c * moments[a])
-                post[i] = acc
+                post[i] = ft[i] + src[i] - corr[i]
         else:
             pref = 1.0 - 0.5 * inv_tau
             for i in range(9):
@@ -743,13 +750,27 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         uu = ux * ux + uy * uy
         post_r = [None] * 9
         post_b = [None] * 9
+        feq_rs = [None] * 9
+        feq_bs = [None] * 9
         for i in range(9):
             eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
             quad = float(w_lat[i]) * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-            feq_r = rho_r * (float(c_r[i]) + quad)
-            feq_b = rho_b * (float(c_b[i]) + quad)
-            post_r[i] = fr[i] - (fr[i] - feq_r) * inv_tau
-            post_b[i] = fb[i] - (fb[i] - feq_b) * inv_tau
+            feq_rs[i] = rho_r * (float(c_r[i]) + quad)
+            feq_bs[i] = rho_b * (float(c_b[i]) + quad)
+        if is_mrt:
+            # per-color moment-space collision with the shared tau(phi)
+            # (``calRKCollision1GPU2DMRT``, AcceleratedRKGPU2D.py:429)
+            corr_r = _mrt_relax([fr[i] - feq_rs[i] for i in range(9)],
+                                inv_tau)
+            corr_b = _mrt_relax([fb[i] - feq_bs[i] for i in range(9)],
+                                inv_tau)
+            for i in range(9):
+                post_r[i] = fr[i] - corr_r[i]
+                post_b[i] = fb[i] - corr_b[i]
+        else:
+            for i in range(9):
+                post_r[i] = fr[i] - (fr[i] - feq_rs[i]) * inv_tau
+                post_b[i] = fb[i] - (fb[i] - feq_bs[i]) * inv_tau
         # color gradient of (rho_R - rho_B) with solidDiff on solid voxels
         diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
         gx, gy = _grad2d(diff, float(grad_w[1]), float(grad_w[5]))
@@ -822,11 +843,21 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         inv_tau = 1.0 / tau
         uu = ux * ux + uy * uy
         post = [None] * 9
+        feq_ts = [None] * 9
         for i in range(9):
             eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
             quad = float(w_lat[i]) * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-            feq_t = rho_r * float(c_r[i]) + rho_b * float(c_b[i]) + rho * quad
-            post[i] = ft[i] - (ft[i] - feq_t) * inv_tau
+            feq_ts[i] = rho_r * float(c_r[i]) + rho_b * float(c_b[i]) \
+                + rho * quad
+        if is_mrt:
+            # total-PDF moment collision (linear in the per-color PDFs)
+            corr = _mrt_relax([ft[i] - feq_ts[i] for i in range(9)],
+                              inv_tau)
+            for i in range(9):
+                post[i] = ft[i] - corr[i]
+        else:
+            for i in range(9):
+                post[i] = ft[i] - (ft[i] - feq_ts[i]) * inv_tau
         diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
         gx, gy = _grad2d(diff, float(grad_w[1]), float(grad_w[5]))
         g2 = gx * gx + gy * gy

@@ -55,14 +55,11 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         bc_config=None,
                         interpret: bool = False):
     """Build ``f (K, 9, ny, nx) -> f'`` for the Shan-Chen family: original
-    SC (SRT) or explicit-forcing EFS (SRT or constant-matrix MRT, iso
-    4/8/10), psi = rho.  Returns None when unsupported (P-R psi, SC+MRT, or
-    a non-decomposing domain)."""
+    SC or explicit-forcing EFS (iso 4/8/10), SRT or constant-matrix MRT,
+    psi = rho or Peng-Robinson EOS.  Returns None only when the domain
+    does not strip-decompose or a BC kind is unsupported in-kernel."""
     is_efs = params.scheme == "EFS"
-    if params.psi != "rho":
-        return None
-    if not is_efs and params.collision != "SRT":
-        return None
+    is_pr = params.psi == "PR"
     ny, nx = geometry.shape
     K = params.num_fluids
     T = int(steps_per_call)
@@ -142,10 +139,30 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     n_geo = geo_np.shape[0]
     geo_dev = jnp.asarray(geo_np, dtype)
 
-    if is_efs and params.collision == "MRT":
+    if params.collision == "MRT":
         from ..ops.collision import mrt_relaxation_d2q9_sc
         mrt_c = [D2Q9.M_inv @ (np.diag(mrt_relaxation_d2q9_sc(t)) @ D2Q9.M)
                  for t in tau]
+
+    if is_pr:
+        prp = dict(params.pr_params)
+        pr_cr = float(prp.get("const_r", 1.0))
+        pr_t = float(prp.get("temperature", 0.06))
+        pr_a = float(prp.get("coeff_a", 1.0))
+        pr_b = float(prp.get("coeff_b", 4.0))
+        pr_alpha = float(prp.get("alpha", 1.0))
+        pr_c0g = float(prp.get("c0", 6.0)) * float(prp.get("g", -1.0))
+
+    def _psi(r):
+        """Pseudopotential (``calFluidPotentialGPUEql``/``...GPUPR``,
+        OptimizedD2Q9GPU.py:99-127).  psi(0) = 0 so solids stay inert."""
+        if not is_pr:
+            return r
+        p = (r * (pr_cr * pr_t)) / (1.0 - pr_b * r) - \
+            (pr_a * pr_alpha) * r * r / \
+            (1.0 + 2.0 * pr_b * r - (pr_b * pr_b) * r * r)
+        arg = (2.0 / pr_c0g) * (p - r / 3.0)
+        return jnp.sqrt(jnp.maximum(arg, 0.0))
 
     sh = functools.partial(_sh, nx=nx, w=W)
 
@@ -222,12 +239,13 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         (``ShanChenMCMP._step_efs``)."""
         rho = [sum(f[k]) for k in range(K)]
         rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
-        # iso-stencil sums of psi = rho (zero on solid)
+        psi = rho if not is_pr else [_psi(r) for r in rho]
+        # iso-stencil sums of psi (zero on solid)
         vx = [jnp.zeros_like(rho[0]) for _ in range(K)]
         vy = [jnp.zeros_like(rho[0]) for _ in range(K)]
         for (dx, dy), w in zip(offsets, st_w):
             for k in range(K):
-                s = sh(rho[k], dx, dy)
+                s = sh(psi[k], dx, dy)
                 if dx:
                     vx[k] = vx[k] + (w * dx) * s
                 if dy:
@@ -240,10 +258,10 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for j in range(K):
                 if not g_mat[k, j]:
                     continue
-                gvx = gvx + float(g_mat[k, j]) * (vx[j] - rho[j] * fvx)
-                gvy = gvy + float(g_mat[k, j]) * (vy[j] - rho[j] * fvy)
-            fx[k] = -6.0 * rho[k] * gvx - float(g_sol[k]) * rho[k] * asx
-            fy[k] = -6.0 * rho[k] * gvy - float(g_sol[k]) * rho[k] * asy
+                gvx = gvx + float(g_mat[k, j]) * (vx[j] - psi[j] * fvx)
+                gvy = gvy + float(g_mat[k, j]) * (vy[j] - psi[j] * fvy)
+            fx[k] = -6.0 * psi[k] * gvx - float(g_sol[k]) * psi[k] * asx
+            fy[k] = -6.0 * psi[k] * gvy - float(g_sol[k]) * psi[k] * asy
             if bfx:
                 fx[k] = fx[k] + bfx * rho[k]
             if bfy:
@@ -329,14 +347,15 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         upx = numx / den
         upy = numy / den
 
-        # interaction force: psi = rho (zero on solid via the masks)
+        # interaction force on the pseudopotential (zero on solid)
+        psi = rho if not is_pr else [_psi(r) for r in rho]
         vx = [jnp.zeros_like(rho[0]) for _ in range(K)]
         vy = [jnp.zeros_like(rho[0]) for _ in range(K)]
         for i in range(1, 9):
             dx, dy = int(_E[i, 0]), int(_E[i, 1])
             wi = float(_W[i])
             for k in range(K):
-                s = sh(rho[k], dx, dy)
+                s = sh(psi[k], dx, dy)
                 if dx:
                     vx[k] = vx[k] + (wi * dx) * s
                 if dy:
@@ -350,26 +369,42 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                       if g_mat[k, j])
             gvx = gvx if not isinstance(gvx, int) else jnp.zeros_like(rho[0])
             gvy = gvy if not isinstance(gvy, int) else jnp.zeros_like(rho[0])
-            fx[k] = -rho[k] * (gvx + float(g_sol[k]) * adh_x)
-            fy[k] = -rho[k] * (gvy + float(g_sol[k]) * adh_y)
+            fx[k] = -psi[k] * (gvx + float(g_sol[k]) * adh_x)
+            fy[k] = -psi[k] * (gvy + float(g_sol[k]) * adh_y)
             if bfx:
                 fx[k] = fx[k] + bfx * rho[k]
             if bfy:
                 fy[k] = fy[k] + bfy * rho[k]
 
-        # per-fluid u_eq, feq, BGK, stream
+        # per-fluid u_eq, feq, (SRT|MRT) collision, stream
         out = [[None] * 9 for _ in range(K)]
         for k in range(K):
             ux = upx + tau[k] * fx[k] / rho_safe[k]
             uy = upy + tau[k] * fy[k] / rho_safe[k]
             uu = ux * ux + uy * uy
             inv_t = 1.0 / tau[k]
-            post = [None] * 9
+            feq = [None] * 9
             for i in range(9):
                 eu = float(_E[i, 0]) * ux + float(_E[i, 1]) * uy
-                feq_i = float(_W[i]) * rho[k] * \
+                feq[i] = float(_W[i]) * rho[k] * \
                     (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-                post[i] = f[k][i] - (f[k][i] - feq_i) * inv_t
+            post = [None] * 9
+            if params.collision == "MRT":
+                # moment relaxation toward feq(u_eq); forcing rides in the
+                # shifted equilibrium velocity (``ShanChenMCMP._step_sc``)
+                dfk = [f[k][i] - feq[i] for i in range(9)]
+                C = mrt_c[k]
+                for i in range(9):
+                    acc = f[k][i]
+                    for b in range(9):
+                        c = float(C[i, b])
+                        if c == 0.0:
+                            continue
+                        acc = acc - (dfk[b] if c == 1.0 else c * dfk[b])
+                    post[i] = acc
+            else:
+                for i in range(9):
+                    post[i] = f[k][i] - (f[k][i] - feq[i]) * inv_t
             out[k][0] = post[0] * fl
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])

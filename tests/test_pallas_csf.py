@@ -216,11 +216,52 @@ def test_compressed_perturbation_fused_matches_jnp():
     assert float(jnp.max(jnp.abs(s - s2))) < 3e-5  # f32 drift: fused path uses rsqrt + reassociated algebra
 
 
-def test_perturbation_mrt_falls_back_to_jnp():
-    params = ColorGradientParams(variant="Perturbation", collision="MRT")
-    g = geo.from_solid_mask(np.zeros((32, 32), bool))
-    assert build_csf_fused_step(g, params, jnp.float32,
-                                rows_per_block=8) is None
+def test_perturbation_mrt_fused_matches_jnp():
+    """Perturbation variant with per-color moment-space MRT collision
+    (``calRKCollision1GPU2DMRT``, AcceleratedRKGPU2D.py:429) in-kernel."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="Perturbation", collision="MRT", surface_tension=0.005,
+        a_kr=0.005, a_kb=0.005, alpha_r=4 / 9, alpha_b=4 / 9,
+        solid_phi=0.5, tau_r=1.0, tau_b=0.8)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params,
+                        CGBoundaryConfig(), dtype=jnp.float32,
+                        use_pallas=False)
+    fused = build_csf_fused_step(m.geo, params, jnp.float32,
+                                 rows_per_block=8, interpret=True)
+    a, b = m.init_state_layers(1.0, 1.0, invading_rows=8)
+    c, d = a, b
+    for _ in range(4):
+        a, b = m._step_perturbation(a, b)
+        c, d = fused(c, d)
+    assert float(jnp.max(jnp.abs(a - c))) < 3e-5
+    assert float(jnp.max(jnp.abs(b - d))) < 3e-5
+
+
+def test_perturbation_mrt_compressed_matches_split():
+    """Compressed Perturbation+MRT: total-PDF moment collision tracks the
+    split per-color trajectories (sum and red density)."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="Perturbation", collision="MRT", surface_tension=0.005,
+        a_kr=0.005, a_kb=0.005, alpha_r=4 / 9, alpha_b=4 / 9,
+        solid_phi=0.5, tau_r=1.0, tau_b=0.8)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params,
+                        CGBoundaryConfig(), dtype=jnp.float32,
+                        use_pallas=False)
+    fused = build_csf_fused_step(m.geo, params, jnp.float32,
+                                 rows_per_block=8, state_mode="compressed",
+                                 interpret=True)
+    s = m.pack_state(*m.init_state_layers(1.0, 1.0, invading_rows=8))
+    s2 = s
+    for _ in range(4):
+        s = m._step_impl_c(s)
+        s2 = fused(s2)
+    assert float(jnp.max(jnp.abs(s - s2))) < 3e-5
 
 
 @pytest.mark.parametrize("mode,t_block,rpb", [

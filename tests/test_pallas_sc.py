@@ -59,15 +59,40 @@ def test_sc_fused_channel_bcs(inlet, outlet):
     assert float(jnp.max(jnp.abs(a - c))) < 5e-6
 
 
-def test_sc_fused_unsupported_returns_none():
-    p = ShanChenParams(g_matrix=((0.0, 0.2), (0.2, 0.0)),
-                       g_solid=(0.0, 0.0), tau=(1.0, 1.0), psi="PR")
-    g = geo.from_solid_mask(np.zeros((32, 32), bool))
-    assert build_sc_fused_step(g, p, jnp.float32, rows_per_block=8) is None
-    p2 = _params()
-    p2 = ShanChenParams(g_matrix=p2.g_matrix, g_solid=p2.g_solid,
-                        tau=p2.tau, collision="MRT")
-    assert build_sc_fused_step(g, p2, jnp.float32, rows_per_block=8) is None
+def test_sc_fused_pr_psi_matches_jnp():
+    """psi = Peng-Robinson EOS computed in-kernel (single-component
+    liquid-vapor; ``calFluidPotentialGPUPR``, OptimizedD2Q9GPU.py:112-127)."""
+    n = 32
+    p = ShanChenParams(g_matrix=((-1.0,),), g_solid=(0.0,), tau=(1.0,),
+                       psi="PR")
+    m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
+                     dtype=jnp.float32, use_pallas=False)
+    fused = build_sc_fused_step(m.geo, p, jnp.float32, rows_per_block=8,
+                                bc_config=m.bcs, interpret=True)
+    a = m.init_state_droplet((0.2,), (0.05,), radius=8.0)
+    c = a
+    for _ in range(4):
+        a = m._step_sc(a)
+        c = fused(c)
+    assert bool(jnp.isfinite(a).all())
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+
+
+def test_sc_fused_mrt_matches_jnp():
+    """Original SC with MRT collision toward feq(u_eq) in-kernel."""
+    n = 32
+    p = ShanChenParams(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                       g_solid=(0.0, 0.0), tau=(1.0, 0.8), collision="MRT")
+    m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
+                     dtype=jnp.float32, use_pallas=False)
+    fused = build_sc_fused_step(m.geo, p, jnp.float32, rows_per_block=8,
+                                bc_config=m.bcs, interpret=True)
+    a = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=8.0)
+    c = a
+    for _ in range(4):
+        a = m._step_sc(a)
+        c = fused(c)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
 
 
 @pytest.mark.parametrize("iso,coll,t_block", [
