@@ -98,7 +98,12 @@ class TransportRK:
         self._step = jax.jit(self._step_impl, donate_argnums=0)
 
     def _build_fused(self, use_pallas):
-        """Fused coupled flow+transport Pallas step (TPU, D2Q5 SRT)."""
+        """Fused coupled flow+transport Pallas step (TPU, D2Q5, SRT or
+        anisotropic MRT).  With ``conserve_mass`` the renormalization
+        repair — a global reduction (total tracer mass), which cannot live
+        inside a strip-local kernel — composes as a jnp epilogue, exactly
+        as the reference splits it into a ``cuda.reduce`` plus a repair
+        kernel (``Transport2DRK.py:498-500``)."""
         if not use_pallas:
             return None
         if use_pallas == "auto":
@@ -108,21 +113,45 @@ class TransportRK:
                 return None
             if platform not in ("tpu", "axon"):
                 return None
-        from ..pallas.csf import build_csf_fused_step
-        return build_csf_fused_step(
-            self.geo, self.flow.p, self.dtype, bc_config=self.flow.bcs,
-            transport_params=self.tp,
-            interpret=(use_pallas == "interpret"))
+        return self.make_block_step(steps_per_call=1,
+                                    interpret=(use_pallas == "interpret"))
 
     def make_block_step(self, steps_per_call: int = 2,
                         rows_per_block: int | None = None,
                         interpret: bool = False):
-        """Temporally-blocked fused coupled step (see pallas/csf.py)."""
+        """Temporally-blocked fused coupled step (see pallas/csf.py).
+        With conserve_mass only steps_per_call=1 composes (the repair
+        needs a fresh global mass total every step) and the returned
+        callable takes ``(f_r, f_b, g, mass0)``."""
         from ..pallas.csf import build_csf_fused_step
-        return build_csf_fused_step(
+        base = build_csf_fused_step(
             self.geo, self.flow.p, self.dtype, rows_per_block,
             steps_per_call=steps_per_call, bc_config=self.flow.bcs,
             transport_params=self.tp, interpret=interpret)
+        if base is None or not self.tp.conserve_mass:
+            return base
+        if steps_per_call != 1:
+            return None
+
+        def fused_with_renorm(f_r, f_b, g, mass0):
+            # pre-step flow fields feed the repair, as in _step_impl
+            rho_r, rho_b, _, _, _, fx, fy = \
+                self.flow.color_force_fields(f_r, f_b)
+            rho = rho_r + rho_b
+            rho_safe = jnp.where(rho > 0, rho, 1.0)
+            mx, my = mac.momentum(self.flow.lat, f_r + f_b)
+            u = ((mx + 0.5 * fx) / rho_safe, (my + 0.5 * fy) / rho_safe)
+            in_domain, _ = tr.transport_domain_mask(rho_r, self.tp.criteria)
+            f_r, f_b, g = base(f_r, f_b, g)
+            conc = self.concentration(g)
+            u_norm_sq = u[0] * u[0] + u[1] * u[1]
+            g, _ = tr.renormalize_concentration(
+                g, conc, mass0, in_domain, u_norm_sq, self.j_coeffs,
+                u, self.lat_tr)
+            return f_r, f_b, g
+
+        fused_with_renorm.needs_mass0 = True
+        return fused_with_renorm
 
     # ------------------------------------------------------------------
     def init_state(self, flow_state, conc0: np.ndarray) -> TransportState:
@@ -208,7 +237,10 @@ class TransportRK:
     def _step_impl(self, state: TransportState) -> TransportState:
         f_r, f_b, g, mass0 = state
         if self._fused is not None:
-            f_r, f_b, g = self._fused(f_r, f_b, g)
+            if getattr(self._fused, "needs_mass0", False):
+                f_r, f_b, g = self._fused(f_r, f_b, g, mass0)
+            else:
+                f_r, f_b, g = self._fused(f_r, f_b, g)
             return TransportState(f_r, f_b, g, mass0)
         rho_r, rho_b, phi, gx, gy, fx, fy = \
             self.flow.color_force_fields(f_r, f_b)

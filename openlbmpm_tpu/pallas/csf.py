@@ -187,8 +187,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     tp = transport_params
     has_transport = tp is not None
     if has_transport:
-        if is_pert or tp.scheme != 5 or tp.relaxation != "SRT" \
-                or tp.conserve_mass or compressed:
+        # D2Q5 tracers, SRT J-scheme or anisotropic MRT.  conserve_mass is
+        # a global reduction (total tracer mass) and lives as a jnp
+        # epilogue composed by TransportRK._build_fused — like the
+        # reference, which runs a separate cuda.reduce before its repair
+        # kernel (``Transport2DRK.py:498-500``).
+        if is_pert or tp.scheme != 5 or compressed:
             return None
         if tp.inlet not in ("none", "inamuro", "anti_bounce_back", "zero") \
                 or tp.outlet not in ("none", "freeflow"):
@@ -907,6 +911,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         betas = tuple(float(b) for b in tp.beta_interface)
         stoich = tuple(float(s) for s in tp.reaction_stoich)
         crit = float(tp.criteria)
+        tr_mrt = tp.relaxation == "MRT"
+        if tr_mrt:
+            from ..ops.transport import mrt_matrices_d2q5
+            U5 = mrt_matrices_d2q5(tp.diff_x, tp.diff_y, tp.diff_xy,
+                                   tp.diff_yx)  # (NT, 5, 5), g += U(g-geq)
+            tr_quad = tp.mrt_equilibrium == "quadratic"
 
     def _transport_substep(g, fl, rows_g, ux, uy, gx, gy, rho_r, us5):
         """g: list over NT of lists of 5 planes -> advanced tracer PDFs
@@ -914,13 +924,38 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         static upwind-solid masks for the four D2Q5 moving directions."""
         conc = [sum(g[t]) for t in range(NT)]
         in_dom = rho_r < crit
-        # SRT J-scheme collision
-        for t in range(NT):
-            inv_t = 1.0 / tau_tr[t]
-            for i in range(5):
-                eu = float(E5[i, 0]) * ux + float(E5[i, 1]) * uy
-                geq = conc[t] * (float(JC[t, i]) + 0.5 * eu)
-                g[t][i] = g[t][i] - (g[t][i] - geq) * inv_t
+        if tr_mrt:
+            # anisotropic moment collision g += U (g - geq), U constant
+            # per tracer (``mrt_matrices_d2q5``; Transport2DRK.py:330-347)
+            uu5 = ux * ux + uy * uy
+            for t in range(NT):
+                dg = []
+                for i in range(5):
+                    eu = float(E5[i, 0]) * ux + float(E5[i, 1]) * uy
+                    if tr_quad:
+                        fac = 1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu5
+                    else:
+                        fac = 1.0 + 3.0 * eu
+                    dg.append(g[t][i] - conc[t] * (float(W5[i]) * fac))
+                U = U5[t]
+                new = []
+                for i in range(5):
+                    acc = g[t][i]
+                    for b in range(5):
+                        c = float(U[i, b])
+                        if c == 0.0:
+                            continue
+                        acc = acc + (dg[b] if c == 1.0 else c * dg[b])
+                    new.append(acc)
+                g[t] = new
+        else:
+            # SRT J-scheme collision
+            for t in range(NT):
+                inv_t = 1.0 / tau_tr[t]
+                for i in range(5):
+                    eu = float(E5[i, 0]) * ux + float(E5[i, 1]) * uy
+                    geq = conc[t] * (float(JC[t, i]) + 0.5 * eu)
+                    g[t][i] = g[t][i] - (g[t][i] - geq) * inv_t
         # semi-permeable interface (beta partition)
         if tr_mode == "permeable" and any(betas):
             value = jnp.where(in_dom, -1.0, 0.0)

@@ -302,3 +302,79 @@ def test_coupled_transport_fused_matches_jnp(mode, t_block, rpb):
         fr, fb, g = fused(fr, fb, g)
     assert float(jnp.max(jnp.abs(a.f_r - fr))) < 3e-5  # f32 drift: fused path uses rsqrt + reassociated algebra
     assert float(jnp.max(jnp.abs(a.g - g))) < 3e-5  # f32 drift: fused path uses rsqrt + reassociated algebra
+
+
+@pytest.mark.parametrize("mrt_eq", ["linear", "quadratic"])
+def test_coupled_transport_mrt_fused_matches_jnp(mrt_eq):
+    """Anisotropic D2Q5 MRT tracer collision in-kernel
+    (``mrt_matrices_d2q5``; Transport2DRK.py:330-347)."""
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    tp = TransportParams(num_tracers=2, scheme=5, tau=(1.0, 0.9),
+                         relaxation="MRT", mrt_equilibrium=mrt_eq,
+                         diff_x=(0.08, 0.12), diff_y=(0.15, 0.05),
+                         diff_xy=(0.02, 0.0), diff_yx=(0.0, 0.01),
+                         interface_mode="permeable",
+                         beta_interface=(0.5, 0.2),
+                         inlet="inamuro", inlet_conc=(1.0, 0.5),
+                         outlet="freeflow")
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float32, use_pallas=False)
+    fused = build_csf_fused_step(m.geo, fp, jnp.float32, rows_per_block=8,
+                                 bc_config=bcs, transport_params=tp,
+                                 interpret=True)
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((2, n, n))
+    conc0[:, 20:28, :] = 1.0
+    st = m.init_state(fs, conc0)
+    a = st
+    for _ in range(4):
+        a = m._step_impl(a)
+    fr, fb, g = st.f_r, st.f_b, st.g
+    for _ in range(4):
+        fr, fb, g = fused(fr, fb, g)
+    assert float(jnp.max(jnp.abs(a.f_r - fr))) < 3e-5
+    assert float(jnp.max(jnp.abs(a.g - g))) < 3e-5
+
+
+def test_coupled_transport_conserve_mass_fused_matches_jnp():
+    """conserve_mass repair composes with the fused kernel as a jnp
+    epilogue (global mass reduction, like the reference's cuda.reduce +
+    repair kernel, Transport2DRK.py:498-500)."""
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    tp = TransportParams(num_tracers=1, scheme=5, tau=(1.0,),
+                         j0=(1 / 3,), interface_mode="permeable",
+                         beta_interface=(0.3,), conserve_mass=True)
+    # f64: the renorm's active mask (u_norm_sq > 1e-20, rho_r < criteria)
+    # is discrete, so f32 noise flips whole-node equilibrium rebuilds
+    m_ref = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                        dtype=jnp.float64, use_pallas=False)
+    m_pal = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                        dtype=jnp.float64, use_pallas="interpret")
+    assert m_pal._fused is not None
+    assert getattr(m_pal._fused, "needs_mass0", False)
+    fs = m_ref.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((1, n, n))
+    conc0[:, 20:28, :] = 1.0
+    a = m_ref.init_state(fs, conc0)
+    b = m_pal.init_state(fs, conc0)
+    for _ in range(4):
+        a = m_ref._step_impl(a)
+        b = m_pal._step_impl(b)
+    assert float(jnp.max(jnp.abs(a.f_r - b.f_r))) < 1e-11
+    assert float(jnp.max(jnp.abs(a.g - b.g))) < 1e-11
