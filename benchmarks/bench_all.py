@@ -20,6 +20,7 @@ import numpy as np
 
 # runnable as `python benchmarks/bench_all.py` from the repo root
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _throughput(step_fn, state, n_steps, sites, unpack=False):
@@ -44,22 +45,24 @@ def _throughput(step_fn, state, n_steps, sites, unpack=False):
 
 
 def bench_single_phase(quick):
-    """Config 1: single-component D2Q9 channel flow, 256x128."""
+    """Config 1: single-component D2Q9 channel flow, 1024x512 (the
+    single-phase model is jnp/XLA-only: one fused XLA kernel per step is
+    already bandwidth-bound without a hand-written Pallas kernel)."""
     import jax.numpy as jnp
 
     from openlbmpm_tpu import geometry as geo
     from openlbmpm_tpu.models.single_phase import (BoundaryConfig,
                                                    SinglePhaseD2Q9)
-    nx, ny = 128, 256
+    nx, ny = 512, 1024
     m = SinglePhaseD2Q9(geo.box_with_walls(nx, ny), tau=0.9,
                         collision="MRT", body_force=(0.0, -1e-6),
                         dtype=jnp.float32)
     f = m.init_state()
     mlups, f = _throughput(lambda s: m._step_impl(s), (f,),
-                           200 if quick else 1000, nx * ny, unpack=True)
+                           200 if quick else 600, nx * ny, unpack=True)
     rho, (ux, uy) = m.macro(f[0])
-    return {"config": "1 single-phase D2Q9 channel 256x128 MRT",
-            "value": round(mlups, 1), "unit": "MLUPS",
+    return {"config": "1 single-phase D2Q9 channel 1024x512 MRT",
+            "value": round(mlups, 1), "unit": "MLUPS", "path": "jnp/XLA",
             "max_u": round(float(jnp.max(jnp.abs(uy))), 6)}
 
 
@@ -69,22 +72,27 @@ def bench_sc_droplet(quick):
 
     from openlbmpm_tpu import geometry as geo
     from openlbmpm_tpu.models.shanchen import ShanChenMCMP, ShanChenParams
-    n = 256
+    n = 1024
     solid = np.zeros((n, n), bool)
     solid[:2, :] = True
     p = ShanChenParams(g_matrix=((0.0, 3.8), (3.8, 0.0)),
                        g_solid=(-0.4, 0.4), tau=(1.0, 1.0))
     m = ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=jnp.float32)
     f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02),
-                             center=(2.0, n / 2), radius=30.0)
-    mlups, (f,) = _throughput(lambda s: m._step_impl(s), (f,),
-                              200 if quick else 1000, n * n, unpack=True)
+                             center=(2.0, n / 2), radius=100.0)
+    blk = m.make_block_step(steps_per_call=4)
+    t_block = 4 if blk is not None else 1
+    step = blk if blk is not None else m._step_impl
+    mlups, (f,) = _throughput(lambda s: step(s), (f,),
+                              (200 if quick else 600) // t_block,
+                              n * n * t_block, unpack=True)
     rho_k, _ = m.macro(f)
     from openlbmpm_tpu.metrics import measured_contact_angle
     drop = np.asarray(rho_k[0]) > 0.5
     theta = measured_contact_angle(drop, wall_row=2)
-    return {"config": "2 Shan-Chen droplet contact angle 256^2",
+    return {"config": "2 Shan-Chen droplet contact angle 1024^2",
             "value": round(mlups, 1), "unit": "MLUPS",
+            "t_block": t_block,
             "contact_angle_deg": round(theta, 1)}
 
 
@@ -94,19 +102,23 @@ def bench_efs_mrt(quick):
 
     from openlbmpm_tpu import geometry as geo
     from openlbmpm_tpu.models.shanchen import ShanChenMCMP, ShanChenParams
-    n = 256
+    n = 1024
     p = ShanChenParams(g_matrix=((0.0, 0.2), (0.2, 0.0)),
                        g_solid=(0.0, 0.0), tau=(1.0, 0.55),
                        scheme="EFS", iso_order=8, collision="MRT")
     m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
                      dtype=jnp.float32)
-    f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=40.0)
-    mlups, (f,) = _throughput(lambda s: m._step_impl(s), (f,),
-                              200 if quick else 1000, n * n, unpack=True)
+    f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=120.0)
+    blk = m.make_block_step(steps_per_call=2)
+    t_block = 2 if blk is not None else 1
+    step = blk if blk is not None else m._step_impl
+    mlups, (f,) = _throughput(lambda s: step(s), (f,),
+                              (200 if quick else 600) // t_block,
+                              n * n * t_block, unpack=True)
     rho_k, _ = m.macro(f)
-    m0 = float(np.asarray(rho_k).sum())
-    return {"config": "3 EFS iso-8 MRT viscosity contrast 256^2",
+    return {"config": "3 EFS iso-8 MRT viscosity contrast 1024^2",
             "value": round(mlups, 1), "unit": "MLUPS",
+            "t_block": t_block,
             "finite": bool(np.isfinite(np.asarray(rho_k)).all())}
 
 
@@ -118,7 +130,7 @@ def bench_csf_transport(quick):
     from openlbmpm_tpu.models.colorgradient import (CGBoundaryConfig,
                                                     ColorGradientParams)
     from openlbmpm_tpu.models.transport import TransportParams, TransportRK
-    n = 512
+    n = 1024
     solid = np.zeros((n, n), bool)
     solid[:, 0] = solid[:, -1] = True
     fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
@@ -130,48 +142,24 @@ def bench_csf_transport(quick):
                          interface_mode="permeable", beta_interface=(0.5,))
     m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
                     dtype=jnp.float32)
-    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=50)
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=100)
     conc0 = np.zeros((1, n, n))
-    conc0[0, n - 60:, :] = 1.0
+    conc0[0, n - 120:, :] = 1.0
     st = m.init_state(fs, conc0)
     mlups, (st,) = _throughput(lambda s: m._step_impl(s), (st,),
                                100 if quick else 400, n * n, unpack=True)
     conc = np.asarray(m.concentration(st.g))
-    return {"config": "4 CSF two-phase + transport 512^2",
+    return {"config": "4 CSF two-phase + transport 1024^2",
             "value": round(mlups, 1), "unit": "MLUPS (flow+transport)",
             "tracer_mass": round(float(conc.sum()), 2)}
 
 
 def bench_cg3d_pore(quick):
-    """Config 5: D3Q19 color-gradient drainage in a synthetic pore image."""
-    import jax.numpy as jnp
-
-    from openlbmpm_tpu import geometry as geo
-    from openlbmpm_tpu.models.flow3d import (ColorGradientParams3D,
-                                             ColorGradientRK3D)
-    n = 64
-    rng = np.random.RandomState(0)
-    # synthetic grain pack: random spheres, ~30% solid
-    solid = np.zeros((n, n, n), bool)
-    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n]
-    for _ in range(40):
-        c = rng.randint(8, n - 8, 3)
-        r = rng.randint(4, 9)
-        solid |= ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 +
-                  (xx - c[2]) ** 2) <= r * r
-    solid[:2] = solid[-2:] = False  # open inlet/outlet slabs
-    m = ColorGradientRK3D(geo.from_solid_mask(solid),
-                          ColorGradientParams3D(surface_tension=0.005,
-                                                contact_angle_deg=60.0),
-                          dtype=jnp.float32)
-    st = m.init_state_layers(1.0, 1.0, invading_slabs=8)
-    mlups, st = _throughput(lambda a, b: m._step_impl(a, b), st,
-                            50 if quick else 200, n ** 3, unpack=True)
-    rho_r, rho_b, phi, u = m.macro(st)
-    return {"config": "5 D3Q19 CSF drainage in pore pack 64^3 "
-                      f"(porosity {1 - solid.mean():.2f})",
-            "value": round(mlups, 1), "unit": "MLUPS",
-            "finite": bool(np.isfinite(np.asarray(phi)).all())}
+    """Config 5: D3Q19 color-gradient drainage in an image-derived pore
+    structure at 128^3, compressed fused kernel with inlet/outlet BC
+    slabs (see benchmarks/bench_cg3d.py for the standalone version)."""
+    from bench_cg3d import run_bench
+    return run_bench(n=96 if quick else 128, t_block=1, rows=8)
 
 
 def main():

@@ -1,0 +1,114 @@
+"""3D CSF drainage benchmark: D3Q19 color-gradient in an image-derived
+pore structure (BASELINE.json config 5; reference config
+``IniFiles/RKtwophasesetup3D.ini:5-7``).
+
+Generates a deterministic synthetic pore-structure PNG (overlapping
+grains), loads it through the image pipeline (``load_structure_image``),
+extrudes it along the flow axis with open buffer slabs, and times the
+compressed fused D3Q19 kernel with velocity inlet + convective outlet.
+
+Usage: python benchmarks/bench_cg3d.py [N [T [R]]]   (default 128 1 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_pore_png(path, n=128, n_grains=60, seed=7):
+    """Deterministic grain-pack cross-section written as a PNG."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:n, 0:n]
+    solid = np.zeros((n, n), bool)
+    for _ in range(n_grains):
+        cy, cx = rng.randint(0, n, 2)
+        r = rng.randint(n // 24, n // 10)
+        solid |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+    # keep a connected open path: carve a channel band
+    band = slice(n // 2 - n // 10, n // 2 + n // 10)
+    w = band.stop - band.start
+    solid[:, band] &= rng.rand(n, w) > 0.6
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    mpimg.imsave(path, solid.astype(float), cmap="gray", vmin=0, vmax=1)
+    return solid
+
+
+def run_bench(n=128, t_block=1, rows=8):
+    import jax
+    import jax.numpy as jnp
+
+    from openlbmpm_tpu import geometry as geo
+    from openlbmpm_tpu.models.flow3d import (CG3DBoundaryConfig,
+                                             ColorGradientParams3D,
+                                             ColorGradientRK3D)
+
+    png = "/tmp/pore_structure_bench.png"
+    make_pore_png(png, n=n)
+    solid2d = geo.load_structure_image(png, threshold=0.5)
+    # pad the cropped image back to n x n (walls seal the edges)
+    pad_y = n - solid2d.shape[0]
+    pad_x = n - solid2d.shape[1]
+    solid2d = np.pad(solid2d, ((0, max(pad_y, 0)), (0, max(pad_x, 0))))
+    solid2d = solid2d[:n, :n]
+    solid = geo.extrude_image_3d(solid2d, n, buffer_slabs=8)
+    g = geo.from_solid_mask(solid)
+    print(f"geometry {g.shape}, porosity {g.porosity:.3f}", file=sys.stderr)
+
+    params = ColorGradientParams3D(
+        tau_r=1.0, tau_b=1.0, surface_tension=0.05, contact_angle_deg=45.0,
+        beta=0.7, tau_type=2)
+    bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                             inlet_velocity=-2e-3)
+    model = ColorGradientRK3D(g, params, bcs, dtype=jnp.float32,
+                              use_pallas=False)
+    from openlbmpm_tpu.pallas.cg3d import build_cg3d_fused_step
+    fused = build_cg3d_fused_step(g, params, jnp.float32,
+                                  slabs_per_block=rows,
+                                  steps_per_call=t_block, bc_config=bcs,
+                                  state_mode="compressed")
+    if fused is None:
+        return {"error": "kernel does not decompose"}
+    f_r, f_b = model.init_state_layers(1.0, 1.0, invading_slabs=16)
+    s = model.pack_state(f_r, f_b)
+
+    def steps(n_calls, s):
+        return jax.lax.fori_loop(0, n_calls, lambda _, x: fused(x), s)
+
+    run = jax.jit(steps, static_argnums=0, donate_argnums=1)
+    n_steps = 120
+    n_calls = n_steps // t_block
+    s = run(n_calls, s)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    s = run(n_calls, s)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    mlups = n ** 3 * n_steps / dt / 1e6
+    finite = bool(jnp.isfinite(s).all())
+    return {
+        "config": f"5 D3Q19 CSF drainage, imaged pore structure {n}^3",
+        "metric": f"T={t_block}, R={rows}, compressed, velocity-in/"
+                  "convective-out",
+        "value": round(mlups, 1),
+        "unit": "MLUPS",
+        "finite": finite,
+        "porosity": round(float(g.porosity), 3),
+    }
+
+
+def main(n=128, t_block=1, rows=8):
+    print(json.dumps(run_bench(n, t_block, rows)))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*(args or [128, 1, 8]))

@@ -276,3 +276,41 @@ def wetting_masks(is_solid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         any_solid |= _roll2(solid, int(dx), int(dy))
         any_fluid |= _roll2(fluid, int(dx), int(dy))
     return fluid & any_solid, solid & any_fluid
+
+
+def extrude_image_3d(solid2d: np.ndarray, nz: int,
+                     buffer_slabs: int = 8,
+                     seal_xy: bool = True) -> np.ndarray:
+    """Extrude a 2D pore-image cross-section into a 3D (nz, ny, nx) solid
+    mask along the flow (z) axis, with open buffer slabs at both z faces
+    (the 3D analogue of the reference's buffer layers,
+    ``ShanChenD2Q9.py:578-585``; the 3D config
+    ``IniFiles/RKtwophasesetup3D.ini:5-7`` drives an imaged pore
+    structure).  ``seal_xy`` closes the four lateral faces."""
+    s2 = np.asarray(solid2d, bool)
+    core = np.broadcast_to(s2, (max(nz - 2 * buffer_slabs, 1),) + s2.shape)
+    core = core.copy()
+    buf = np.zeros((buffer_slabs,) + s2.shape, bool)
+    solid = np.concatenate([buf, core, buf], axis=0)[:nz]
+    if seal_xy:
+        solid[:, 0, :] = solid[:, -1, :] = True
+        solid[:, :, 0] = solid[:, :, -1] = True
+    return solid
+
+
+def image_stack_3d(paths, threshold: float = 0.5,
+                   buffer_slabs: int = 8,
+                   seal_xy: bool = True) -> np.ndarray:
+    """Stack per-slice pore images (the micro-CT workflow) into a 3D solid
+    mask [z, y, x], cropped to the common shape, plus z-face buffer
+    slabs."""
+    slices = [load_structure_image(p, threshold) for p in paths]
+    ny = min(s.shape[0] for s in slices)
+    nx = min(s.shape[1] for s in slices)
+    core = np.stack([s[:ny, :nx] for s in slices])
+    buf = np.zeros((buffer_slabs, ny, nx), bool)
+    solid = np.concatenate([buf, core, buf], axis=0)
+    if seal_xy:
+        solid[:, 0, :] = solid[:, -1, :] = True
+        solid[:, :, 0] = solid[:, :, -1] = True
+    return solid

@@ -44,8 +44,8 @@ from ..ops.forcing import guo_source
 from ..ops.streaming import stream, upwind_solid_masks
 
 __all__ = ["SinglePhaseD3Q19", "ShanChenParams3D", "ShanChenMCMP3D",
-           "ColorGradientParams3D", "ColorGradientRK3D", "TransportD3Q7",
-           "TransportRK3D"]
+           "ColorGradientParams3D", "CG3DBoundaryConfig", "ColorGradientRK3D",
+           "TransportD3Q7", "TransportRK3D"]
 
 
 def _density3(f):
@@ -258,6 +258,29 @@ class ColorGradientParams3D:
     body_force: tuple = (0.0, 0.0, 0.0)
 
 
+# D3Q19 direction groups by e_z sign (e components are (x, y, z))
+_EZ_PLUS = (5, 11, 14, 15, 18)
+_EZ_MINUS = (6, 12, 13, 16, 17)
+_EZ_ZERO = (0, 1, 2, 3, 4, 7, 8, 9, 10)
+
+
+@dataclasses.dataclass(frozen=True)
+class CG3DBoundaryConfig:
+    """Open z-face boundaries for the 3D color-gradient model.
+
+    The reference ships no 3D code, so the z-face closures use the
+    standard non-equilibrium bounce-back (NEBB) generalization of Zou-He
+    (f_unknown = feq + f_opp - feq_opp at prescribed rho/u), the
+    straightforward D3Q19 extension of the 2D kernels it does ship
+    (``RKGPU2DBoundary.py``); see DEVIATIONS.md.
+    """
+
+    inlet: str = "periodic"     # periodic | velocity (top z face)
+    outlet: str = "periodic"    # periodic | dirichlet | convective
+    inlet_velocity: float = 0.0  # v_z at the inlet (negative = inflow)
+    outlet_density: float = 1.0  # total rho at the outlet face
+
+
 class ColorGradientRK3D:
     """CSF color-gradient two-phase flow on D3Q19 (SRT with tau(phi)).
 
@@ -267,6 +290,7 @@ class ColorGradientRK3D:
     """
 
     def __init__(self, geometry: Geometry, params: ColorGradientParams3D,
+                 boundaries: CG3DBoundaryConfig = CG3DBoundaryConfig(),
                  dtype=jnp.float32, use_pallas: bool | str = "auto"):
         self.lat = D3Q19
         self.geo = geometry
@@ -287,8 +311,95 @@ class ColorGradientRK3D:
         # cosine flips (see models/colorgradient.py).
         theta = math.radians(params.contact_angle_deg)
         self.cos_t, self.sin_t = -math.cos(theta), math.sin(theta)
+        self.bcs = boundaries
+        nz = geometry.shape[0]
+        self._slab_masks = {z: jnp.asarray(geometry.is_fluid[z], dtype)
+                            for z in (0, 1, 2, 3, nz - 1, nz - 2)}
         self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
+
+    # -- z-face boundary conditions (NEBB; see CG3DBoundaryConfig) --------
+    @staticmethod
+    def _feq_vz(rho, vz):
+        """D3Q19 equilibria at u = (0, 0, vz): list over Q."""
+        lat = D3Q19
+        out = []
+        for i in range(lat.q):
+            ez = float(lat.e[i, 2])
+            eu = ez * vz
+            out.append(float(lat.w[i]) * rho *
+                       (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * vz * vz))
+        return out
+
+    def _nebb_rewrite(self, ft, unknown, rho, vz):
+        """NEBB closure on a (19, ny, nx) slab of the total PDF."""
+        lat = self.lat
+        feq = self._feq_vz(rho, vz)
+        new = {}
+        for i in unknown:
+            io = int(lat.opp[i])
+            new[i] = feq[i] + (ft[io] - feq[io])
+        return new
+
+    def _apply_inlet(self, f_r, f_b):
+        if self.bcs.inlet != "velocity":
+            return f_r, f_b
+        nz = self.geo.shape[0]
+        z = nz - 2
+        m = self._slab_masks[z]
+        vz = self.bcs.inlet_velocity
+        ft = f_r[:, z] + f_b[:, z]
+        s0 = sum(ft[i] for i in _EZ_ZERO)
+        sp = sum(ft[i] for i in _EZ_PLUS)
+        rho = (s0 + 2.0 * sp) / (1.0 + vz)
+        new = self._nebb_rewrite(ft, _EZ_MINUS, rho, vz)
+        rho_r = jnp.sum(f_r[:, z], axis=0)
+        rho_t = jnp.sum(ft, axis=0)
+        ratio = rho_r / jnp.where(rho_t != 0, rho_t, 1.0)
+        for i, val in new.items():
+            f_r = f_r.at[i, z].set(jnp.where(m > 0.5, ratio * val,
+                                             f_r[i, z]))
+            f_b = f_b.at[i, z].set(jnp.where(m > 0.5, (1.0 - ratio) * val,
+                                             f_b[i, z]))
+        # ghost slab copies the boundary slab
+        mg = self._slab_masks[nz - 1]
+        f_r = f_r.at[:, nz - 1].set(jnp.where(mg > 0.5, f_r[:, z],
+                                              f_r[:, nz - 1]))
+        f_b = f_b.at[:, nz - 1].set(jnp.where(mg > 0.5, f_b[:, z],
+                                              f_b[:, nz - 1]))
+        return f_r, f_b
+
+    def _apply_outlet(self, f_r, f_b):
+        if self.bcs.outlet == "convective":
+            for z in (2, 1, 0):
+                m = self._slab_masks[z]
+                f_r = f_r.at[:, z].set(jnp.where(m > 0.5, f_r[:, z + 1],
+                                                 f_r[:, z]))
+                f_b = f_b.at[:, z].set(jnp.where(m > 0.5, f_b[:, z + 1],
+                                                 f_b[:, z]))
+            return f_r, f_b
+        if self.bcs.outlet != "dirichlet":
+            return f_r, f_b
+        z = 1
+        m = self._slab_masks[z]
+        rho_t = self.bcs.outlet_density
+        ft = f_r[:, z] + f_b[:, z]
+        s0 = sum(ft[i] for i in _EZ_ZERO)
+        sm = sum(ft[i] for i in _EZ_MINUS)
+        vz = 1.0 - (s0 + 2.0 * sm) / rho_t
+        new = self._nebb_rewrite(ft, _EZ_PLUS, rho_t, vz)
+        rho_r = jnp.sum(f_r[:, z], axis=0)
+        tot = jnp.sum(ft, axis=0)
+        ratio = rho_r / jnp.where(tot != 0, tot, 1.0)
+        for i, val in new.items():
+            f_r = f_r.at[i, z].set(jnp.where(m > 0.5, ratio * val,
+                                             f_r[i, z]))
+            f_b = f_b.at[i, z].set(jnp.where(m > 0.5, (1.0 - ratio) * val,
+                                             f_b[i, z]))
+        mg = self._slab_masks[0]
+        f_r = f_r.at[:, 0].set(jnp.where(mg > 0.5, f_r[:, 1], f_r[:, 0]))
+        f_b = f_b.at[:, 0].set(jnp.where(mg > 0.5, f_b[:, 1], f_b[:, 0]))
+        return f_r, f_b
 
     def _build_fused(self, use_pallas):
         """Fused D3Q19 Pallas step (TPU; periodic domains)."""
@@ -303,7 +414,7 @@ class ColorGradientRK3D:
                 return None
         from ..pallas.cg3d import build_cg3d_fused_step
         return build_cg3d_fused_step(
-            self.geo, self.p, self.dtype,
+            self.geo, self.p, self.dtype, bc_config=self.bcs,
             interpret=(use_pallas == "interpret"))
 
     def make_block_step(self, steps_per_call: int = 2,
@@ -312,7 +423,8 @@ class ColorGradientRK3D:
         from ..pallas.cg3d import build_cg3d_fused_step
         return build_cg3d_fused_step(
             self.geo, self.p, self.dtype, slabs_per_block,
-            steps_per_call=steps_per_call, interpret=interpret)
+            steps_per_call=steps_per_call, bc_config=self.bcs,
+            interpret=interpret)
 
     def init_state_droplet(self, rho_r=1.0, rho_b=1.0, center=None,
                            radius: float = 8.0, background: float = 0.0):
@@ -342,6 +454,12 @@ class ColorGradientRK3D:
         f_b = eq.feq_quadratic(self.lat, jnp.asarray(rho_b, self.dtype), u0)
         return f_r * self.fluid_mask, f_b * self.fluid_mask
 
+    def pack_state(self, f_r, f_b):
+        """Compressed 20-plane state: concat([f_total (19), rho_r (1)])
+        (see pallas/cg3d.py state_mode='compressed')."""
+        return jnp.concatenate([f_r + f_b,
+                                jnp.sum(f_r, axis=0)[None]], axis=0)
+
     def color_force_fields(self, f_r, f_b):
         rho_r = _density3(f_r)
         rho_b = _density3(f_b)
@@ -365,6 +483,8 @@ class ColorGradientRK3D:
     def _step_impl(self, f_r, f_b):
         if self._fused is not None:
             return self._fused(f_r, f_b)
+        f_r, f_b = self._apply_inlet(f_r, f_b)
+        f_r, f_b = self._apply_outlet(f_r, f_b)
         rho_r, rho_b, phi, g, force = self.color_force_fields(f_r, f_b)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)

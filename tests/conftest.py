@@ -47,6 +47,16 @@ SLOW_TESTS = {
     "test_sc_fused_periodic[4]",
     "test_cg3d_fused_periodic",
     "test_cg3d_fused_wetting",
+    "test_cg3d_bc_fused_matches_jnp",
+    "test_cg3d_compressed_matches_split",
+    "test_coupled_transport_mrt_fused_matches_jnp",
+    "test_coupled_transport_conserve_mass_fused_matches_jnp",
+    "test_perturbation_mrt_fused_matches_jnp",
+    "test_perturbation_mrt_compressed_matches_split",
+    "test_washburn_capillary_rise_viscosity_ratio_001",
+    "test_contact_angle_150_viscosity_contrast_100",
+    "test_efs_viscosity_ratio_1000",
+    "test_efs_open_boundaries_iso_depth",
     "test_fused_compressed_sharded_equals_single",
     # 2D golden physics
     "test_capillary_intrusion_direction",

@@ -26,8 +26,8 @@ def test_cg3d_fused_periodic(t_block):
         a, b = m._step_impl(a, b)
     for _ in range(2):
         c, d = fused(c, d)
-    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
-    assert float(jnp.max(jnp.abs(b - d))) < 5e-6
+    assert float(jnp.max(jnp.abs(a - c))) < 3e-5  # f32 drift: separable stencils + rsqrt
+    assert float(jnp.max(jnp.abs(b - d))) < 3e-5  # f32 drift: separable stencils + rsqrt
 
 
 def test_cg3d_fused_wetting():
@@ -46,5 +46,64 @@ def test_cg3d_fused_wetting():
     for _ in range(3):
         a, b = m._step_impl(a, b)
         c, d = fused(c, d)
-    assert float(jnp.max(jnp.abs(a - c))) < 5e-6
-    assert float(jnp.max(jnp.abs(b - d))) < 5e-6
+    assert float(jnp.max(jnp.abs(a - c))) < 3e-5  # f32 drift: separable stencils + rsqrt
+    assert float(jnp.max(jnp.abs(b - d))) < 3e-5  # f32 drift: separable stencils + rsqrt
+
+
+@pytest.mark.parametrize("outlet,t_block", [
+    ("convective", 1), ("dirichlet", 1), ("convective", 2)])
+def test_cg3d_bc_fused_matches_jnp(outlet, t_block):
+    """z-face boundary slabs (NEBB velocity inlet, convective/pressure
+    outlet) applied in-window match the jnp model path."""
+    from openlbmpm_tpu.models.flow3d import CG3DBoundaryConfig
+    nz, n = 16, 16
+    solid = np.zeros((nz, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0)
+    bcs = CG3DBoundaryConfig(inlet="velocity", outlet=outlet,
+                             inlet_velocity=-1e-3, outlet_density=1.0)
+    m = ColorGradientRK3D(geo.from_solid_mask(solid), params, bcs,
+                          dtype=jnp.float32, use_pallas=False)
+    fused = build_cg3d_fused_step(m.geo, params, jnp.float32,
+                                  slabs_per_block=16,
+                                  steps_per_call=t_block, bc_config=bcs,
+                                  interpret=True)
+    assert fused is not None
+    a, b = m.init_state_layers(1.0, 1.0, invading_slabs=6)
+    c, d = a, b
+    for _ in range(2 * t_block):
+        a, b = m._step_impl(a, b)
+    for _ in range(2):
+        c, d = fused(c, d)
+    assert float(jnp.max(jnp.abs(a - c))) < 3e-5
+    assert float(jnp.max(jnp.abs(b - d))) < 3e-5
+
+
+def test_cg3d_compressed_matches_split():
+    """Compressed (f_total, rho_r) 3D kernel tracks the split trajectory
+    (packed comparison), with BC slabs."""
+    from openlbmpm_tpu.models.flow3d import CG3DBoundaryConfig
+    nz, n = 16, 16
+    solid = np.zeros((nz, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0)
+    bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                             inlet_velocity=-1e-3)
+    # f64: the layered interface sits at |phi| ~ delta where the tau
+    # select is discrete, so f32 noise flips branches (as in the 2D
+    # compressed tests)
+    m = ColorGradientRK3D(geo.from_solid_mask(solid), params, bcs,
+                          dtype=jnp.float64, use_pallas=False)
+    fused_c = build_cg3d_fused_step(m.geo, params, jnp.float64,
+                                    slabs_per_block=16, bc_config=bcs,
+                                    state_mode="compressed", interpret=True)
+    assert fused_c is not None
+    a, b = m.init_state_layers(1.0, 1.0, invading_slabs=6)
+    s = m.pack_state(a, b)
+    for _ in range(3):
+        a, b = m._step_impl(a, b)
+        s = fused_c(s)
+    ref = m.pack_state(a, b)
+    assert float(jnp.max(jnp.abs(ref - s))) < 1e-11
