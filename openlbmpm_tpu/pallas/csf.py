@@ -1089,19 +1089,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             gwin = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=2)
             g = [[gwin[t, i] for i in range(5)] for t in range(NT)]
         rows_g = None
-        is_edge = None
         if need_rows:
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             off = row0_ref[0] if is_local else 0
             rows_g = (off + i0 * R - H + r_iota) % ny
-            # does this window contain any BC row? (scalar predicate: the
-            # inlet/outlet rewrites then run only on edge strips)
-            start = (off + i0 * R - H) % ny
-            is_edge = False
-            for k in (0, 1, 2, ny - 2, ny - 1):
-                hit = ((k - start) % ny) < W
-                is_edge = jnp.logical_or(is_edge, hit)
         for _ in range(T):
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
@@ -1119,13 +1111,13 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 uy_ = (my_ + 0.5 * fy_) * rinv_
                 g = _transport_substep(g, fl, rows_g, ux_, uy_, gx_, gy_,
                                        rho_r_, us5)
+            # BC rewrites run unconditionally: they are masked row selects
+            # whose arithmetic is free next to the rolls, whereas a
+            # lax.cond would materialize both branches' outputs (a full
+            # state copy on the identity branch) — measured +0.05 ms/step.
             if compressed:
                 if has_bcs:
-                    ft, rho_r = jax.lax.cond(
-                        is_edge,
-                        lambda a: _apply_bcs_window_c(a[0], a[1], fl, rows_g),
-                        lambda a: (list(a[0]), a[1]),
-                        (tuple(ft), rho_r))
+                    ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, rows_g)
                 if is_pert:
                     ft, rho_r = _substep_pert_c(ft, rho_r, fl, us)
                 else:
@@ -1133,11 +1125,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                            den_inv, us)
             else:
                 if has_bcs:
-                    fr, fb = jax.lax.cond(
-                        is_edge,
-                        lambda a: _apply_bcs_window(a[0], a[1], fl, rows_g),
-                        lambda a: (list(a[0]), list(a[1])),
-                        (tuple(fr), tuple(fb)))
+                    fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
                 if is_pert:
                     fr, fb = _substep_pert(fr, fb, fl, us)
                 else:
