@@ -187,16 +187,23 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     tp = transport_params
     has_transport = tp is not None
     if has_transport:
-        # D2Q5 tracers, SRT J-scheme or anisotropic MRT.  conserve_mass is
+        # D2Q5 or D2Q9 tracers, SRT or anisotropic MRT.  conserve_mass is
         # a global reduction (total tracer mass) and lives as a jnp
         # epilogue composed by TransportRK._build_fused — like the
         # reference, which runs a separate cuda.reduce before its repair
         # kernel (``Transport2DRK.py:498-500``).
-        if is_pert or tp.scheme != 5 or compressed:
+        if is_pert or tp.scheme not in (5, 9) or compressed:
             return None
-        if tp.inlet not in ("none", "inamuro", "anti_bounce_back", "zero") \
-                or tp.outlet not in ("none", "freeflow"):
-            return None
+        if tp.scheme == 5:
+            if tp.inlet not in ("none", "inamuro", "anti_bounce_back",
+                                "zero") or tp.outlet not in ("none",
+                                                             "freeflow"):
+                return None
+        else:
+            # the reference's D2Q9 transport loop applies no tracer BCs
+            # (SURVEY.md section 3.4, ``Transport2DRK.py:1385-1414``)
+            if tp.inlet != "none" or tp.outlet != "none":
+                return None
     tr_mode = tp.interface_mode if has_transport else None
     is_local = local_ny is not None
     if is_local and not compressed:
@@ -901,21 +908,32 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     # -- coupled D2Q5 transport sub-step ------------------------------------
     if has_transport:
-        E5 = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)])
-        W5 = np.array([1 / 3] + [1 / 6] * 4)
-        OPP5 = np.array([0, 2, 1, 4, 3])
+        NQ = int(tp.scheme)
+        if NQ == 5:
+            E5 = np.array([(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)])
+            W5 = np.array([1 / 3] + [1 / 6] * 4)
+            OPP5 = np.array([0, 2, 1, 4, 3])
+            EN5 = np.ones(5)
+        else:
+            E5 = _E
+            W5 = _W
+            OPP5 = _OPP
+            EN5 = np.sqrt((_E.astype(np.float64) ** 2).sum(axis=1))
+            EN5[EN5 == 0] = 1.0
         NT = tp.num_tracers
         from ..ops.transport import j_coefficients
-        JC = j_coefficients(np.asarray(tp.j0))  # (NT, 5)
+        JC = j_coefficients(np.asarray(tp.j0))  # (NT, 5); D2Q5 only
         tau_tr = tuple(float(t) for t in tp.tau)
         betas = tuple(float(b) for b in tp.beta_interface)
         stoich = tuple(float(s) for s in tp.reaction_stoich)
         crit = float(tp.criteria)
         tr_mrt = tp.relaxation == "MRT"
         if tr_mrt:
-            from ..ops.transport import mrt_matrices_d2q5
-            U5 = mrt_matrices_d2q5(tp.diff_x, tp.diff_y, tp.diff_xy,
-                                   tp.diff_yx)  # (NT, 5, 5), g += U(g-geq)
+            from ..ops.transport import (mrt_matrices_d2q5,
+                                         mrt_matrices_d2q9)
+            build_u = mrt_matrices_d2q5 if NQ == 5 else mrt_matrices_d2q9
+            U5 = build_u(tp.diff_x, tp.diff_y, tp.diff_xy,
+                         tp.diff_yx)  # (NT, NQ, NQ), g += U(g-geq)
             tr_quad = tp.mrt_equilibrium == "quadratic"
 
     def _transport_substep(g, fl, rows_g, ux, uy, gx, gy, rho_r, us5):
@@ -930,7 +948,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             uu5 = ux * ux + uy * uy
             for t in range(NT):
                 dg = []
-                for i in range(5):
+                for i in range(NQ):
                     eu = float(E5[i, 0]) * ux + float(E5[i, 1]) * uy
                     if tr_quad:
                         fac = 1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu5
@@ -939,9 +957,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     dg.append(g[t][i] - conc[t] * (float(W5[i]) * fac))
                 U = U5[t]
                 new = []
-                for i in range(5):
+                for i in range(NQ):
                     acc = g[t][i]
-                    for b in range(5):
+                    for b in range(NQ):
                         c = float(U[i, b])
                         if c == 0.0:
                             continue
@@ -949,12 +967,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     new.append(acc)
                 g[t] = new
         else:
-            # SRT J-scheme collision
+            # SRT: D2Q5 J-scheme eq C(J_i + e.u/2); D2Q9 linear eq
+            # C w_i (1 + 3 e.u) (``Transport2DRK`` scheme-9 path)
             for t in range(NT):
                 inv_t = 1.0 / tau_tr[t]
-                for i in range(5):
+                for i in range(NQ):
                     eu = float(E5[i, 0]) * ux + float(E5[i, 1]) * uy
-                    geq = conc[t] * (float(JC[t, i]) + 0.5 * eu)
+                    if NQ == 5:
+                        geq = conc[t] * (float(JC[t, i]) + 0.5 * eu)
+                    else:
+                        geq = conc[t] * float(W5[i]) * (1.0 + 3.0 * eu)
                     g[t][i] = g[t][i] - (g[t][i] - geq) * inv_t
         # semi-permeable interface (beta partition)
         if tr_mode == "permeable" and any(betas):
@@ -968,8 +990,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 if not betas[t % len(betas)]:
                     continue
                 bt = betas[t % len(betas)]
-                for i in range(1, 5):
-                    cos_i = float(E5[i, 0]) * ugx + float(E5[i, 1]) * ugy
+                for i in range(1, NQ):
+                    cos_i = (float(E5[i, 0]) * ugx +
+                             float(E5[i, 1]) * ugy) / float(EN5[i])
                     g[t][i] = g[t][i] + bt * value * float(W5[i]) * \
                         cos_i * conc[t]
         # bilinear reaction A + B -> C
@@ -977,21 +1000,22 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             r = float(tp.reaction_rate) * conc[0] * conc[1]
             for t in range(NT):
                 st_t = stoich[t % len(stoich)]
-                for i in range(5):
-                    g[t][i] = g[t][i] + st_t * r * float(JC[t, i])
+                for i in range(NQ):
+                    jw = float(JC[t, i]) if NQ == 5 else float(W5[i])
+                    g[t][i] = g[t][i] + st_t * r * jw
         flb = fl > 0.5
         # free-flow outlet before streaming (reference order)
         if tp.outlet == "freeflow":
             for row in (2, 1, 0):
                 m = jnp.logical_and(rows_g == row, flb)
                 for t in range(NT):
-                    for i in range(5):
+                    for i in range(NQ):
                         g[t][i] = jnp.where(m, _rolly(g[t][i], 1, W),
                                             g[t][i])
-        # D2Q5 pull-streaming with half-way bounce-back
+        # tracer pull-streaming with half-way bounce-back
         for t in range(NT):
             new = [g[t][0] * fl]
-            for i in range(1, 5):
+            for i in range(1, NQ):
                 dx, dy = int(E5[i, 0]), int(E5[i, 1])
                 io = int(OPP5[i])
                 new.append(jnp.where(us5[i], g[t][io],
@@ -1000,7 +1024,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # hard interface bounce-back (post-stream repair)
         if tr_mode == "bounceback":
             dom_f = jnp.where(in_dom, 1.0, 0.0)
-            for i in range(1, 5):
+            for i in range(1, NQ):
                 dx, dy = int(E5[i, 0]), int(E5[i, 1])
                 io = int(OPP5[i])
                 nbr_out = jnp.logical_and(in_dom,
@@ -1028,7 +1052,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         elif tp.inlet == "zero":
             m = jnp.logical_and(rows_g == ny - 2, flb)
             for t in range(NT):
-                for i in range(5):
+                for i in range(NQ):
                     g[t][i] = jnp.where(m, _rolly(g[t][i], -1, W), g[t][i])
         return g
 
@@ -1074,7 +1098,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         if has_transport:
             us5 = [None] + [
                 sh(solid, -int(E5[i, 0]), -int(E5[i, 1])) > 0.5
-                for i in range(1, 5)]
+                for i in range(1, NQ)]
 
         if compressed:
             s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
@@ -1087,7 +1111,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             fb = [f_b[i] for i in range(9)]
         if has_transport:
             gwin = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=2)
-            g = [[gwin[t, i] for i in range(5)] for t in range(NT)]
+            g = [[gwin[t, i] for i in range(NQ)] for t in range(NT)]
         rows_g = None
         if need_rows:
             i0 = pl.program_id(0)
@@ -1144,7 +1168,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         if has_transport:
             out_g = outs[2]
             for t in range(NT):
-                for i in range(5):
+                for i in range(NQ):
                     out_g[t, i] = g[t][i][H:H + R]
 
     n_st = 10 if compressed else 9
@@ -1195,15 +1219,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                      jax.ShapeDtypeStruct((9, ny, nx), dtype)]
     if has_transport:
         in_specs += [
-            pl.BlockSpec((NT, 5, R, nx), lambda i: (0, 0, i, 0)),
-            pl.BlockSpec((NT, 5, H, nx),
+            pl.BlockSpec((NT, NQ, R, nx), lambda i: (0, 0, i, 0)),
+            pl.BlockSpec((NT, NQ, H, nx),
                          lambda i: (0, 0, (i * (R // H) - 1) % hb, 0)),
-            pl.BlockSpec((NT, 5, H, nx),
+            pl.BlockSpec((NT, NQ, H, nx),
                          lambda i: (0, 0, (i * (R // H) + R // H) % hb, 0)),
         ]
         out_specs.append(
-            pl.BlockSpec((NT, 5, R, nx), lambda i: (0, 0, i, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((NT, 5, ny, nx), dtype))
+            pl.BlockSpec((NT, NQ, R, nx), lambda i: (0, 0, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((NT, NQ, ny, nx), dtype))
 
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=120 * 1024 * 1024,

@@ -50,6 +50,7 @@ SLOW_TESTS = {
     "test_cg3d_bc_fused_matches_jnp",
     "test_cg3d_compressed_matches_split",
     "test_coupled_transport_mrt_fused_matches_jnp",
+    "test_coupled_transport_d2q9_fused_matches_jnp",
     "test_coupled_transport_conserve_mass_fused_matches_jnp",
     "test_perturbation_mrt_fused_matches_jnp",
     "test_perturbation_mrt_compressed_matches_split",

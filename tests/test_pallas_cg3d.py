@@ -72,10 +72,9 @@ def test_cg3d_bc_fused_matches_jnp(outlet, t_block):
     assert fused is not None
     a, b = m.init_state_layers(1.0, 1.0, invading_slabs=6)
     c, d = a, b
-    for _ in range(2 * t_block):
+    for _ in range(t_block):
         a, b = m._step_impl(a, b)
-    for _ in range(2):
-        c, d = fused(c, d)
+    c, d = fused(c, d)
     assert float(jnp.max(jnp.abs(a - c))) < 3e-5
     assert float(jnp.max(jnp.abs(b - d))) < 3e-5
 
@@ -102,7 +101,7 @@ def test_cg3d_compressed_matches_split():
     assert fused_c is not None
     a, b = m.init_state_layers(1.0, 1.0, invading_slabs=6)
     s = m.pack_state(a, b)
-    for _ in range(3):
+    for _ in range(2):
         a, b = m._step_impl(a, b)
         s = fused_c(s)
     ref = m.pack_state(a, b)

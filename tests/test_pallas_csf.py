@@ -378,3 +378,47 @@ def test_coupled_transport_conserve_mass_fused_matches_jnp():
         b = m_pal._step_impl(b)
     assert float(jnp.max(jnp.abs(a.f_r - b.f_r))) < 1e-11
     assert float(jnp.max(jnp.abs(a.g - b.g))) < 1e-11
+
+
+@pytest.mark.parametrize("relaxation", ["SRT", "MRT"])
+def test_coupled_transport_d2q9_fused_matches_jnp(relaxation):
+    """D2Q9 tracer scheme in-kernel (the reference's scheme-9 transport
+    loop applies no tracer BCs, SURVEY.md section 3.4): collision
+    (linear eq SRT / anisotropic MRT), semi-permeable interface,
+    reaction, streaming."""
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    tp = TransportParams(num_tracers=2, scheme=9, tau=(1.0, 0.9),
+                         relaxation=relaxation,
+                         diff_x=(0.08, 0.12), diff_y=(0.15, 0.05),
+                         diff_xy=(0.02, 0.0), diff_yx=(0.0, 0.01),
+                         interface_mode="permeable",
+                         beta_interface=(0.5, 0.2),
+                         reaction_rate=1e-4,
+                         reaction_stoich=(-1.0, -1.0),
+                         inlet="none", outlet="none")
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float32, use_pallas=False)
+    fused = build_csf_fused_step(m.geo, fp, jnp.float32, rows_per_block=8,
+                                 bc_config=bcs, transport_params=tp,
+                                 interpret=True)
+    assert fused is not None
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((2, n, n))
+    conc0[:, 20:28, :] = 1.0
+    st = m.init_state(fs, conc0)
+    a = st
+    for _ in range(4):
+        a = m._step_impl(a)
+    fr, fb, g = st.f_r, st.f_b, st.g
+    for _ in range(4):
+        fr, fb, g = fused(fr, fb, g)
+    assert float(jnp.max(jnp.abs(a.f_r - fr))) < 3e-5
+    assert float(jnp.max(jnp.abs(a.g - g))) < 3e-5
