@@ -88,9 +88,16 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           steps_per_call: int = 1,
                           bc_config=None,
                           state_mode: str = "split",
+                          local_nz: int | None = None,
                           interpret: bool = False):
     """Build the fused step for D3Q19 CSF: ``(f_r, f_b) -> (f_r', f_b')``
     (split) or ``s -> s'`` on the 20-plane compressed state.
+
+    ``local_nz`` (compressed only) builds the per-shard kernel for a
+    z-decomposed domain (``build_cg3d_sharded_step``): the call takes the
+    local slab, H-slab halos received from the z neighbors over ICI, and
+    the matching geometry slabs; BC slabs stay in the jnp prologue on the
+    globally sharded array, so no global-offset plumbing is needed.
 
     Returns None when the domain does not slab-decompose, VMEM would
     overflow, or a BC kind is unsupported in-kernel.
@@ -98,6 +105,10 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     nz, ny, nx = geometry.shape
     T = int(steps_per_call)
     compressed = state_mode == "compressed"
+    is_local = local_nz is not None
+    if is_local and (not compressed or T != 1):
+        return None
+    grid_nz = int(local_nz) if is_local else nz
 
     inlet_kind = getattr(bc_config, "inlet", "periodic")
     outlet_kind = getattr(bc_config, "outlet", "periodic")
@@ -119,7 +130,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     def _pick_h(r):
         for d in range(need, r + 1):
-            if r % d == 0 and nz % d == 0:
+            if r % d == 0 and grid_nz % d == 0:
                 return d
         return None
 
@@ -128,7 +139,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # empirical VMEM model (v5e 128 MB, Mosaic scoped usage ~2.5x the
         # window-plane estimate)
         for r in (32, 16, 8, 4, 2):
-            if nz % r:
+            if grid_nz % r:
                 continue
             h = _pick_h(r)
             if h is None:
@@ -141,14 +152,14 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             return None
     R = slabs_per_block
-    if not R or nz % R:
+    if not R or grid_nz % R:
         return None
     H = _pick_h(R)
     if H is None:
         return None
     W = R + 2 * H
-    nb = nz // R
-    hb = nz // H
+    nb = grid_nz // R
+    hb = grid_nz // H
 
     lat = D3Q19
     e = lat.e
@@ -521,19 +532,36 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return out_r, out_b
 
     def kernel(*refs):
-        if compressed:
+        if is_local:
+            (s_c, s_u, s_d, up_sl, dn_sl,
+             g_c, g_u, g_d, gup_sl, gdn_sl) = refs[:10]
+            outs = refs[10:]
+            i0 = pl.program_id(0)
+            first = i0 == 0
+            last = i0 == nb - 1
+            s_u = jnp.where(first, up_sl[:], s_u[:])
+            s_d = jnp.where(last, dn_sl[:], s_d[:])
+            g_u = jnp.where(first, gup_sl[:], g_u[:])
+            g_d = jnp.where(last, gdn_sl[:], g_d[:])
+        elif compressed:
             s_c, s_u, s_d, g_c, g_u, g_d = refs[:6]
             outs = refs[6:]
         else:
             fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
             outs = refs[9:]
-        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        if is_local:
+            geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
+        else:
+            geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
         fl = geo[0]
         wet = geo[1]
         den_inv = geo[5]
         solid = 1.0 - fl
         if compressed:
-            s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
+            if is_local:
+                s = jnp.concatenate([s_u, s_c[:], s_d], axis=1)
+            else:
+                s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
             ft = [s[i] for i in range(Q)]
             rho_r = s[Q]
         else:
@@ -583,7 +611,15 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     gd = pl.BlockSpec((n_geo, H, ny, nx),
                       lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
 
-    if compressed:
+    if is_local:
+        slab = pl.BlockSpec((n_st, H, ny, nx), lambda i: (0, 0, 0, 0))
+        gslab = pl.BlockSpec((n_geo, H, ny, nx), lambda i: (0, 0, 0, 0))
+        in_specs = [center, halo_up, halo_dn, slab, slab,
+                    gc, gu, gd, gslab, gslab]
+        out_specs = (pl.BlockSpec((n_st, R, ny, nx),
+                                  lambda i: (0, i, 0, 0)),)
+        out_shape = (jax.ShapeDtypeStruct((n_st, grid_nz, ny, nx), dtype),)
+    elif compressed:
         in_specs = [center, halo_up, halo_dn, gc, gu, gd]
         out_specs = (pl.BlockSpec((n_st, R, ny, nx),
                                   lambda i: (0, i, 0, 0)),)
@@ -728,6 +764,13 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return f_r, f_b
 
     bc_prologue = has_bcs and not bc_in_kernel
+    if is_local:
+        def step(s_loc, up, dn, geo_loc, gup, gdn):
+            return call(s_loc, s_loc, s_loc, up, dn,
+                        geo_loc, geo_loc, geo_loc, gup, gdn)[0]
+        step.bc_prologue_c = _bc_prologue_c if bc_prologue else None
+        step.halo_slabs = H
+        return step
     if compressed:
         def step(s):
             if bc_prologue:
@@ -739,5 +782,70 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 f_r, f_b = _bc_prologue_split(f_r, f_b)
             return call(f_r, f_r, f_r, f_b, f_b, f_b,
                         geo_dev, geo_dev, geo_dev)
+
+    return step
+
+
+def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
+                            dtype=jnp.float32,
+                            slabs_per_block: int | None = None,
+                            bc_config=None,
+                            interpret: bool = False):
+    """Compressed fused D3Q19 CSF step under a z-sharded mesh.
+
+    The domain is slab-decomposed over the mesh "y" axis (x/y stay
+    on-shard: lane/sublane rolls need the full cross-section).  Per call,
+    the BC prologue rewrites the boundary slabs on the globally sharded
+    array (XLA SPMD lowers the slab updates to the owning shards), then
+    each shard exchanges H halo slabs of state and geometry with its ring
+    neighbors via ``lax.ppermute`` over ICI and runs the local periodic
+    kernel.  Returns ``step(s) -> s'`` on the (20, nz, ny, nx) state, or
+    None when the decomposition does not apply.
+    """
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    nz, ny, nx = geometry.shape
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sh = axis_sizes.get("y", 1)
+    if axis_sizes.get("x", 1) != 1 or nz % n_sh:
+        return None
+    nz_loc = nz // n_sh
+    local = build_cg3d_fused_step(
+        geometry, params, dtype, slabs_per_block, steps_per_call=1,
+        bc_config=bc_config, state_mode="compressed", local_nz=nz_loc,
+        interpret=interpret)
+    if local is None:
+        return None
+    H = local.halo_slabs
+
+    spec = P(None, "y", None, None)
+    geo = jax.device_put(jnp.asarray(geo_stack3(geometry), dtype),
+                         NamedSharding(mesh, spec))
+    fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
+    bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+
+    def _local_step(s_loc, geo_loc):
+        def halo(x):
+            up = lax.ppermute(x[:, -H:], "y", fwd)
+            dn = lax.ppermute(x[:, :H], "y", bwd)
+            return up, dn
+
+        up, dn = halo(s_loc)
+        gup, gdn = halo(geo_loc)
+        return local(s_loc, up, dn, geo_loc, gup, gdn)
+
+    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec, check_vma=False)
+    prologue = getattr(local, "bc_prologue_c", None)
+
+    def step(s):
+        if prologue is not None:
+            s = prologue(s)
+        return sharded(s, geo)
 
     return step

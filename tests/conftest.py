@@ -59,6 +59,7 @@ SLOW_TESTS = {
     "test_efs_viscosity_ratio_1000",
     "test_efs_open_boundaries_iso_depth",
     "test_fused_compressed_sharded_equals_single",
+    "test_cg3d_fused_sharded_equals_single",
     # 2D golden physics
     "test_capillary_intrusion_direction",
     "test_static_contact_angle_sweep",

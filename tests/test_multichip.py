@@ -195,3 +195,40 @@ def test_fused_compressed_sharded_equals_single(t_block):
         s_sh = jstep(s_sh)
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh),
                                rtol=0, atol=1e-12)
+
+
+def test_cg3d_fused_sharded_equals_single():
+    """The compressed fused D3Q19 step under a z-sharded mesh (ppermute
+    halo slabs + BC prologue on the global array) matches the
+    single-device fused step."""
+    import jax
+    from openlbmpm_tpu.models.flow3d import (CG3DBoundaryConfig,
+                                             ColorGradientParams3D,
+                                             ColorGradientRK3D)
+    from openlbmpm_tpu.pallas.cg3d import (build_cg3d_fused_step,
+                                           build_cg3d_sharded_step)
+    from openlbmpm_tpu.parallel.mesh import make_mesh
+    nz, n = 32, 16
+    solid = np.zeros((nz, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0)
+    bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                             inlet_velocity=-1e-3)
+    m = ColorGradientRK3D(geo.from_solid_mask(solid), params, bcs,
+                          dtype=jnp.float32, use_pallas=False)
+    single = build_cg3d_fused_step(m.geo, params, jnp.float32,
+                                   slabs_per_block=8, bc_config=bcs,
+                                   state_mode="compressed", interpret=True)
+    mesh = make_mesh(shape=(4, 1))
+    sharded = build_cg3d_sharded_step(m.geo, params, mesh, jnp.float32,
+                                      slabs_per_block=4, bc_config=bcs,
+                                      interpret=True)
+    assert sharded is not None
+    s = m.pack_state(*m.init_state_layers(1.0, 1.0, invading_slabs=8))
+    a = s
+    b = s
+    for _ in range(2):
+        a = single(a)
+        b = jax.jit(sharded)(b)
+    assert float(jnp.max(jnp.abs(a - b))) < 3e-5
