@@ -248,7 +248,8 @@ def _run_colorgradient3d(args):
     solid[:, 0, :] = solid[:, -1, :] = True
     geometry = geo.from_solid_mask(solid)
     dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-    model = ColorGradientRK3D(geometry, params, dtype=dtype)
+    model = ColorGradientRK3D(geometry, params,
+                              boundaries=extras["bcs"], dtype=dtype)
     state = model.init_state_layers(extras["rho_r"], extras["rho_b"],
                                     invading_slabs=max(8, dom["nz"] // 10))
     writer = ResultWriter(args.output, basename="SimulationResultsRK3D")

@@ -279,6 +279,22 @@ def load_colorgradient3d(path: str):
                        ini.number("BoundaryCondition", "velocityZB",
                                   default=0.0)),
     }
+    # z-face boundary conditions (CG3DBoundaryConfig); a nonzero inlet
+    # velocity selects the NEBB velocity inlet, the outlet type follows
+    # the 2D key conventions (Convective | Dirichlet | Periodic)
+    from .models.flow3d import CG3DBoundaryConfig
+    outlet_kind = ini.text("BoundaryCondition", "BoundaryTypeOutlet",
+                           default="Convective").strip().lower()
+    outlet = {"convective": "convective", "dirichlet": "dirichlet",
+              "freeflux": "convective"}.get(outlet_kind, "periodic")
+    vz = extras["velocity_z"]
+    bcs = CG3DBoundaryConfig(
+        inlet="velocity" if vz else "periodic",
+        outlet=outlet if vz else "periodic",
+        inlet_velocity=vz,
+        outlet_density=ini.number("BoundaryCondition", "OutletDensity",
+                                  default=1.0))
+    extras["bcs"] = bcs
     return params, domain3d, run, extras
 
 
