@@ -166,6 +166,24 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     sh = functools.partial(_sh, nx=nx, w=W)
 
+    _PAIRS9 = ((1, 3), (2, 4), (5, 7), (6, 8))
+
+    def _feq9(rho_k, ux, uy):
+        """Pair-shared quadratic equilibria (feq_opp flips the odd part)."""
+        uu = ux * ux + uy * uy
+        base = 1.0 - 1.5 * uu
+        eu = [None, ux, uy, None, None, ux + uy, uy - ux, None, None]
+        feq = [None] * 9
+        feq[0] = float(_W[0]) * rho_k * base
+        for i, io in _PAIRS9:
+            wrho = float(_W[i]) * rho_k
+            eui = eu[i]
+            a = wrho * (base + 4.5 * (eui * eui))
+            b = (3.0 * wrho) * eui
+            feq[i] = a + b
+            feq[io] = a - b
+        return feq, eu
+
     def _apply_inlet_window(f, fl, rows_g):
         """f: list over K of lists over 9 planes.  BC row sits `radius`
         rows inside (iso-8/10 ghost depth, matching
@@ -234,7 +252,7 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                             f[k][i])
         return f
 
-    def _substep_efs(f, fl, fvx, fvy, asx, asy):
+    def _substep_efs(f, fl, fvx, fvy, asx, asy, us):
         """EFS sub-step on the transformed PDF fbar = f - f^F/2
         (``ShanChenMCMP._step_efs``)."""
         rho = [sum(f[k]) for k in range(K)]
@@ -289,15 +307,17 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out = [[None] * 9 for _ in range(K)]
         for k in range(K):
             inv_t = 1.0 / tau[k]
-            feq = [None] * 9
+            feq, eu = _feq9(rho[k], ux, uy)
+            # force PDF f^F_i = 3 ((e-u).F) feq_i / rho
+            ef = [None, fx[k], fy[k], None, None, fx[k] + fy[k],
+                  fy[k] - fx[k], None, None]
+            uf = ux * fx[k] + uy * fy[k]
+            r3 = 3.0 / rho_safe[k]
             ff = [None] * 9
-            for i in range(9):
-                eu = float(_E[i, 0]) * ux + float(_E[i, 1]) * uy
-                feq[i] = float(_W[i]) * rho[k] * \
-                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-                ff[i] = (fx[k] * (float(_E[i, 0]) - ux) +
-                         fy[k] * (float(_E[i, 1]) - uy)) * feq[i] * \
-                    (3.0 / rho_safe[k])
+            ff[0] = (-uf) * feq[0] * r3
+            for i, io in _PAIRS9:
+                ff[i] = (ef[i] - uf) * feq[i] * r3
+                ff[io] = (-ef[i] - uf) * feq[io] * r3
             post = [None] * 9
             if params.collision == "SRT":
                 for i in range(9):
@@ -319,12 +339,11 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])
                 io = int(_OPP[i])
-                up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-                out[k][i] = jnp.where(up_solid, post[io],
+                out[k][i] = jnp.where(us[i], post[io],
                                       sh(post[i], -dx, -dy)) * fl
         return out
 
-    def _substep(f, fl, adh_x, adh_y):
+    def _substep(f, fl, adh_x, adh_y, us):
         rho = [sum(f[k]) for k in range(K)]
         rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
 
@@ -381,13 +400,8 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for k in range(K):
             ux = upx + tau[k] * fx[k] / rho_safe[k]
             uy = upy + tau[k] * fy[k] / rho_safe[k]
-            uu = ux * ux + uy * uy
             inv_t = 1.0 / tau[k]
-            feq = [None] * 9
-            for i in range(9):
-                eu = float(_E[i, 0]) * ux + float(_E[i, 1]) * uy
-                feq[i] = float(_W[i]) * rho[k] * \
-                    (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
+            feq, _ = _feq9(rho[k], ux, uy)
             post = [None] * 9
             if params.collision == "MRT":
                 # moment relaxation toward feq(u_eq); forcing rides in the
@@ -409,8 +423,7 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])
                 io = int(_OPP[i])
-                up_solid = sh(1.0 - fl, -dx, -dy) > 0.5
-                out[k][i] = jnp.where(up_solid, post[io],
+                out[k][i] = jnp.where(us[i], post[io],
                                       sh(post[i], -dx, -dy)) * fl
         return out
 
@@ -430,15 +443,19 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             rows_g = (i0 * R - H + r_iota) % ny
+        # static upwind-solid masks, hoisted out of the fluid/time loops
+        solid_w = 1.0 - fl
+        us = [None] + [sh(solid_w, -int(_E[i, 0]), -int(_E[i, 1])) > 0.5
+                       for i in range(1, 9)]
         # Op order matches the jnp path (``_step_sc``/``_step_efs``):
         # inlet BC -> physics -> outlet BC per time step.
         for _ in range(T):
             if has_bcs:
                 f = _apply_inlet_window(f, fl, rows_g)
             if is_efs:
-                f = _substep_efs(f, fl, geo[1], geo[2], geo[3], geo[4])
+                f = _substep_efs(f, fl, geo[1], geo[2], geo[3], geo[4], us)
             else:
-                f = _substep(f, fl, geo[1], geo[2])
+                f = _substep(f, fl, geo[1], geo[2], us)
             if has_bcs:
                 f = _apply_outlet_window(f, fl, rows_g)
         for k in range(K):
