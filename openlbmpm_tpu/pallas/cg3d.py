@@ -570,22 +570,48 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             fr = [f_r[i] for i in range(Q)]
             fb = [f_b[i] for i in range(Q)]
         zrows = None
+        is_edge = None
         if bc_in_kernel:
             i0 = pl.program_id(0)
             z_iota = jax.lax.broadcasted_iota(jnp.int32, (W, ny, nx), 0)
             zrows = (i0 * R - H + z_iota) % nz
+            if interpret:
+                start = (i0 * R - H) % nz
+                is_edge = False
+                for k in (0, 1, 2, nz - 2, nz - 1):
+                    hit = ((k - start) % nz) < W
+                    is_edge = jnp.logical_or(is_edge, hit)
         for _ in range(T):
-            # unconditional masked BC rewrites: a lax.cond would
-            # materialize both branches (full state copy on the identity
-            # branch); the masked selects are free next to the rolls
+            # compiled mode: unconditional masked BC rewrites (a lax.cond
+            # would materialize both branches = a full state copy);
+            # interpret mode: cond, because XLA-CPU execution of the
+            # unconditional select chains is pathologically slow
             if compressed:
                 if bc_in_kernel:
-                    ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, zrows)
+                    if interpret:
+                        ft, rho_r = jax.lax.cond(
+                            is_edge,
+                            lambda t: _apply_bcs_window_c(t[0], t[1], fl,
+                                                          zrows),
+                            lambda t: (list(t[0]), t[1]),
+                            (tuple(ft), rho_r))
+                    else:
+                        ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl,
+                                                        zrows)
                 ft, rho_r = _substep_c(ft, rho_r, fl, wet, geo[2], geo[3],
                                        geo[4], den_inv, solid)
             else:
                 if bc_in_kernel:
-                    fr, fb = _apply_bcs_window(fr, fb, fl, zrows)
+                    if interpret:
+                        fr, fb = jax.lax.cond(
+                            is_edge,
+                            lambda t: _apply_bcs_window(list(t[0]),
+                                                        list(t[1]), fl,
+                                                        zrows),
+                            lambda t: (list(t[0]), list(t[1])),
+                            (tuple(fr), tuple(fb)))
+                    else:
+                        fr, fb = _apply_bcs_window(fr, fb, fl, zrows)
                 fr, fb = _substep(fr, fb, fl, wet, geo[2], geo[3], geo[4],
                                   den_inv, solid)
         if compressed:

@@ -1113,11 +1113,23 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             gwin = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=2)
             g = [[gwin[t, i] for i in range(NQ)] for t in range(NT)]
         rows_g = None
+        is_edge = None
         if need_rows:
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             off = row0_ref[0] if is_local else 0
             rows_g = (off + i0 * R - H + r_iota) % ny
+            if interpret and has_bcs:
+                # interpret-only edge predicate: XLA-CPU execution of the
+                # unconditional BC select chains is pathologically slow
+                # (~20x), while on TPU a lax.cond would materialize both
+                # branches (full state copy).  So: cond in interpret,
+                # unconditional masked selects in compiled mode.
+                start = (off + i0 * R - H) % ny
+                is_edge = False
+                for k in (0, 1, 2, ny - 2, ny - 1):
+                    hit = ((k - start) % ny) < W
+                    is_edge = jnp.logical_or(is_edge, hit)
         for _ in range(T):
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
@@ -1141,7 +1153,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # state copy on the identity branch) — measured +0.05 ms/step.
             if compressed:
                 if has_bcs:
-                    ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, rows_g)
+                    if interpret:
+                        ft, rho_r = jax.lax.cond(
+                            is_edge,
+                            lambda t: _apply_bcs_window_c(t[0], t[1], fl,
+                                                          rows_g),
+                            lambda t: (list(t[0]), t[1]),
+                            (tuple(ft), rho_r))
+                    else:
+                        ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl,
+                                                        rows_g)
                 if is_pert:
                     ft, rho_r = _substep_pert_c(ft, rho_r, fl, us)
                 else:
@@ -1149,7 +1170,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                            den_inv, us)
             else:
                 if has_bcs:
-                    fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
+                    if interpret:
+                        fr, fb = jax.lax.cond(
+                            is_edge,
+                            lambda t: _apply_bcs_window(list(t[0]),
+                                                        list(t[1]), fl,
+                                                        rows_g),
+                            lambda t: (list(t[0]), list(t[1])),
+                            (tuple(fr), tuple(fb)))
+                    else:
+                        fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
                 if is_pert:
                     fr, fb = _substep_pert(fr, fb, fl, us)
                 else:
