@@ -2,18 +2,28 @@
 
 The 3D sibling of ``pallas/csf.py``: the grid iterates over z-slabs spanning
 full (ny, nx) planes; x/y stencil accesses are lane/sublane rolls (exact
-periodicity), z accesses roll the leading window axis whose wrap garbage
-stays in the halo rings.  Halos ride as two extra blocked inputs with
-modular index maps on z.  The physics chain needs 4 rings per sub-step
-(stream <- force <- gradient <- phi_ext <- phi), and z is a leading
-(untiled) dimension, so the halo is exactly 4*steps_per_call slabs plus a
-BC-source margin — no sublane rounding.
+periodicity).  z is the *leading* (untiled) window axis, so z-stencil
+accesses are plain contiguous slices — no rolls, no sublane alignment
+constraints — and every pipeline stage computes only the z-range whose
+values are still live:
+
+    phi on [0, W) -> phi_ext on [1, W-1) -> gradient on [2, W-2) ->
+    CSF force on [3, W-3) -> collision on [3, W-3) -> streaming
+    writes [4, W-4)
+
+so the expensive tail stages (19-direction collision, recoloring,
+streaming) run on ~R+2 slabs instead of the full R+2H window — at the
+flagship R=8/H=4 that cuts their VPU work ~40%.  Halos ride as two extra
+blocked inputs with modular index maps on z.
 
 Physics identical to ``models/flow3d.ColorGradientRK3D._step_impl`` (SRT
 with tau(phi), Akai wetting, kappa = (n_a n_b - delta_ab) d_a n_b,
 LKR recoloring) including the z-face boundary slabs (NEBB velocity inlet /
 pressure outlet, convective outlet; ``CG3DBoundaryConfig``), applied
-in-window on global-z masks so temporal blocking works.
+in-window on global-z masks so temporal blocking works.  In-window BC
+application shrinks the valid range by one slab per sub-step (its ghost
+copies read z+-1), so the halo need is 5 slabs per blocked sub-step
+instead of 4.
 
 Two state modes, as in 2D:
 - ``split``: (f_r, f_b) each (19, nz, ny, nx) — 76 f32 planes of HBM
@@ -24,8 +34,7 @@ Two state modes, as in 2D:
   the recolored red PDFs, computed in-window and never stored.
 
 All 3x3x3 stencils (solid-phi extrapolation, gradient, curvature
-derivatives) are computed separably: the D3Q19 edge taps are axis shifts
-of axis-shifted row sums, cutting the per-sub-step roll count ~2.5x.
+derivatives) are computed separably in x/y and by slices in z.
 """
 
 from __future__ import annotations
@@ -54,18 +63,34 @@ _PAIRS3 = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
            (15, 16), (17, 18))
 
 
-def _roll3(a, dx: int, dy: int, dz: int, nx: int, ny: int, wz: int):
-    """Value at (z, y, x) of a(z + dz, y + dy, x + dx); x/y periodic, z
-    wraps within the slab window (garbage stays in the rings)."""
+def _rollxy(a, dx: int, dy: int, nx: int, ny: int):
+    """Value at (y, x) of a(y + dy, x + dx), periodic in both."""
     out = a
-    zax = a.ndim - 3
-    if dz:
-        out = pltpu.roll(out, (-dz) % wz, axis=zax)
     if dy:
-        out = pltpu.roll(out, (-dy) % ny, axis=zax + 1)
+        out = pltpu.roll(out, (-dy) % ny, axis=out.ndim - 2)
     if dx:
-        out = pltpu.roll(out, (-dx) % nx, axis=zax + 2)
+        out = pltpu.roll(out, (-dx) % nx, axis=out.ndim - 1)
     return out
+
+
+def _zcut(a, k: int):
+    """Drop k slabs from each side of the window-z axis (axis ndim-3)."""
+    if k == 0:
+        return a
+    idx = (Ellipsis, slice(k, a.shape[a.ndim - 3] - k),
+           slice(None), slice(None))
+    return a[idx]
+
+
+def _zsh(a, dz: int, k: int):
+    """Value at z+dz on the range shrunk by k slabs per side: for `a`
+    valid on window range [la, lb), returns a(z+dz) on [la+k, lb-k);
+    requires |dz| <= k (a plain contiguous slice on the leading axis)."""
+    zax = a.ndim - 3
+    s = k + dz
+    e = a.shape[zax] - k + dz
+    idx = (Ellipsis, slice(s, e), slice(None), slice(None))
+    return a[idx]
 
 
 def geo_stack3(geometry: Geometry) -> np.ndarray:
@@ -121,12 +146,12 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     # At T=1 the BC slabs apply as a jnp prologue before the kernel call
     # (identical op order to the model: BCs -> physics), which keeps the
-    # halo at the pure physics depth; in-window BC rewrites (and their
-    # source margin) are only needed for temporal blocking.
+    # halo at the pure physics depth; in-window BC rewrites are only
+    # needed for temporal blocking.
     bc_in_kernel = has_bcs and T > 1
-    # halo depth: 4 rings per sub-step + BC source margin, rounded up to
-    # a common divisor of R and nz (the halo index maps are H-granular)
-    need = 4 * T + (4 if bc_in_kernel else 0)
+    # halo depth: 4 rings physics per sub-step, +1 when the in-window BC
+    # ghost copies shrink the range (they read z+-1)
+    need = (5 if bc_in_kernel else 4) * T
 
     def _pick_h(r):
         for d in range(need, r + 1):
@@ -136,8 +161,8 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     n_state = 20 if compressed else 38
     if slabs_per_block is None:
-        # empirical VMEM model (v5e 128 MB, Mosaic scoped usage ~2.5x the
-        # window-plane estimate)
+        # empirical VMEM model (v5e 128 MB; stage-sliced intermediates
+        # keep Mosaic's scoped usage ~2x the window-plane estimate)
         for r in (32, 16, 8, 4, 2):
             if grid_nz % r:
                 continue
@@ -145,7 +170,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             if h is None:
                 continue
             planes = (n_state + 6) * (r + 2 * h) + n_state * r
-            mb = planes * ny * nx * 4 * 2.5 / 2**20
+            mb = planes * ny * nx * 4 * 2.0 / 2**20
             if mb <= 110:
                 slabs_per_block = r
                 break
@@ -181,36 +206,31 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     tau_r, tau_b = float(params.tau_r), float(params.tau_b)
     bf = tuple(float(v) for v in params.body_force)
 
-    def sh(a, i):
-        return _roll3(a, int(e[i, 0]), int(e[i, 1]), int(e[i, 2]),
-                      nx, ny, W)
-
-    def sh_back(a, i):
-        return _roll3(a, -int(e[i, 0]), -int(e[i, 1]), -int(e[i, 2]),
-                      nx, ny, W)
-
     def shx(a, d):
-        return _roll3(a, d, 0, 0, nx, ny, W)
+        return _rollxy(a, d, 0, nx, ny)
 
     def shy(a, d):
-        return _roll3(a, 0, d, 0, nx, ny, W)
-
-    def shz(a, d):
-        return _roll3(a, 0, 0, d, nx, ny, W)
+        return _rollxy(a, 0, d, nx, ny)
 
     def _grad3d(a, w_ax, w_diag):
-        """(gx, gy, gz) of the D3Q19 stencil Σ_i w_i e_i a(x+e_i),
-        separably: edge taps are axis shifts of the orthogonal-axis row
-        sums (12 axis rolls instead of 30)."""
+        """(gx, gy, gz) of the D3Q19 stencil Σ_i w_i e_i a(x+e_i) on the
+        range shrunk by one slab per side, separably: edge taps are axis
+        shifts of orthogonal-axis row sums; z taps are slices."""
+        am = _zcut(a, 1)
+        pEm, pWm = shx(am, 1), shx(am, -1)
+        pNm, pSm = shy(am, 1), shy(am, -1)
+        pU = _zsh(a, 1, 1)
+        pD = _zsh(a, -1, 1)
+        pUD = pU + pD
+        qx = w_ax * am + w_diag * (pNm + pSm + pUD)
+        qy = w_ax * am + w_diag * (pEm + pWm + pUD)
+        # qz needs the full range (gz slices +-1 afterward)
         pE, pW = shx(a, 1), shx(a, -1)
         pN, pS = shy(a, 1), shy(a, -1)
-        pU, pD = shz(a, 1), shz(a, -1)
-        qx = w_ax * a + w_diag * (pN + pS + pU + pD)
-        qy = w_ax * a + w_diag * (pE + pW + pU + pD)
         qz = w_ax * a + w_diag * (pE + pW + pN + pS)
         gx = shx(qx, 1) - shx(qx, -1)
         gy = shy(qy, 1) - shy(qy, -1)
-        gz = shz(qz, 1) - shz(qz, -1)
+        gz = _zsh(qz, 1, 1) - _zsh(qz, -1, 1)
         return gx, gy, gz
 
     def _feq_src3(rho, u, force):
@@ -245,25 +265,33 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return feq, src
 
     # -- fields: phi, wetted gradient, CSF force ---------------------------
-    def _fields(rho_r, rho_b, rho, fl, wet, nsx, nsy, nsz, den_inv):
+    # Input rho_r/rho_b/rho valid on a window range of length n; returns
+    #   rinv, phi       on the same range            (offset 0)
+    #   g, g2, g_rinv   shrunk by 2 slabs per side   (offset 2)
+    #   force           shrunk by 3 slabs per side   (offset 3)
+    # Geometry channels arrive full-range and are sliced per stage via
+    # `gcut(ch, k)` where k is the *absolute* window offset.
+    def _fields(rho_r, rho_b, rho, gcut):
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         rinv = 1.0 / rho_safe
-        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
+        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * gcut(0, 0)
 
         if has_wetting:
-            # phi pre-masked by fl; static denominator rides as den_inv
-            pE, pW = shx(phi, 1), shx(phi, -1)
-            pN, pS = shy(phi, 1), shy(phi, -1)
-            pU, pD = shz(phi, 1), shz(phi, -1)
-            pnsud = pN + pS + pU + pD
-            num = (1.0 / 18.0) * (pE + pW + pnsud) + (1.0 / 36.0) * (
+            # phi pre-masked by fl; static denominator rides as den_inv.
+            # phi_ext valid on offset 1.
+            pm = _zcut(phi, 1)
+            pEm, pWm = shx(pm, 1), shx(pm, -1)
+            pNm, pSm = shy(pm, 1), shy(pm, -1)
+            pUD = _zsh(phi, 1, 1) + _zsh(phi, -1, 1)
+            pnsud = pNm + pSm + pUD
+            num = (1.0 / 18.0) * (pEm + pWm + pnsud) + (1.0 / 36.0) * (
                 shx(pnsud, 1) + shx(pnsud, -1) +
-                shy(pU + pD, 1) + shy(pU + pD, -1))
-            phi_ext = jnp.where(fl > 0.5, phi, num * den_inv)
+                shy(pUD, 1) + shy(pUD, -1))
+            phi_ext = jnp.where(gcut(0, 1) > 0.5, pm, num * gcut(5, 1))
         else:
-            phi_ext = phi
+            phi_ext = _zcut(phi, 1)
 
-        # isotropic gradient 3 Σ w_i e_i phi_ext(x+e_i)
+        # isotropic gradient 3 Σ w_i e_i phi_ext(x+e_i): offset 2
         g = list(_grad3d(phi_ext, 1.0 / 6.0, 1.0 / 12.0))
 
         if has_wetting:
@@ -272,7 +300,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             g_rinvw = jax.lax.rsqrt(jnp.where(safe, g2w, 1.0))
             norm = g2w * g_rinvw
             u = [jnp.where(safe, -c * g_rinvw, 0.0) for c in g]
-            nsv = (nsx, nsy, nsz)
+            nsv = (gcut(2, 2), gcut(3, 2), gcut(4, 2))
             dot = jnp.clip(sum(u[d] * nsv[d] for d in range(3)), -1.0, 1.0)
             sin2 = jnp.maximum(1.0 - dot * dot, 0.0)
             ok = sin2 > 1.0e-18
@@ -286,75 +314,84 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             d2 = sum((n2[d] - u[d]) ** 2 for d in range(3))
             pick1 = d1 < d2
             tie = d1 == d2
-            wetm = wet > 0.5
+            wetm = gcut(1, 2) > 0.5
             for d in range(3):
                 m = jnp.where(pick1, n1[d], n2[d])
                 rotated = jnp.where(tie, g[d], -norm * m)
                 g[d] = jnp.where(wetm, rotated, g[d])
 
-        # curvature + CSF force (inward normal)
+        # curvature + CSF force (inward normal): offset 3
         g2 = g[0] * g[0] + g[1] * g[1] + g[2] * g[2]
         safe = g2 > _EPS * _EPS
         g_rinv = jnp.where(safe, jax.lax.rsqrt(jnp.where(safe, g2, 1.0)),
                            0.0)
-        nh = [(-c * g_rinv) * fl for c in g]
+        fl2 = gcut(0, 2)
+        nh = [(-c * g_rinv) * fl2 for c in g]
         nh_st = jnp.stack(nh)
         dx_s, dy_s, dz_s = _grad3d(nh_st, 1.0 / 6.0, 1.0 / 12.0)
         dn = [[dx_s[0], dx_s[1], dx_s[2]],
               [dy_s[0], dy_s[1], dy_s[2]],
               [dz_s[0], dz_s[1], dz_s[2]]]
-        kappa = jnp.zeros_like(phi)
+        nh3 = [_zcut(c, 1) for c in nh]
+        g3 = [_zcut(c, 1) for c in g]
+        kappa = None
         for a2 in range(3):
             for b2 in range(3):
-                coef = nh[a2] * nh[b2] - (1.0 if a2 == b2 else 0.0)
-                kappa = kappa + coef * dn[a2][b2]
-        force = [-0.5 * sigma * kappa * g[d] for d in range(3)]
+                coef = nh3[a2] * nh3[b2] - (1.0 if a2 == b2 else 0.0)
+                term = coef * dn[a2][b2]
+                kappa = term if kappa is None else kappa + term
+        force = [-0.5 * sigma * kappa * g3[d] for d in range(3)]
         if any(bf):
+            rho3 = _zcut(rho, 3)
             for d in range(3):
                 if bf[d]:
-                    force[d] = force[d] + bf[d] * rho
-        force = [c * fl for c in force]
-        return rho_safe, rinv, phi, g, force, g2, g_rinv
+                    force[d] = force[d] + bf[d] * rho3
+        fl3 = gcut(0, 3)
+        force = [c * fl3 for c in force]
+        return rinv, phi, g, force, g2, g_rinv
 
-    def _collide_total(ft, rho_r, rho_b, rho, rinv, phi, force):
-        mom = [jnp.zeros_like(rho) for _ in range(3)]
+    # Collision on the offset-3 range: every input arrives pre-sliced.
+    def _collide_total(ft3, rho_r3, rho_b3, rinv3, phi3, force):
+        mom = [None, None, None]
         for i in range(1, Q):
-            fti = ft[i]
+            fti = ft3[i]
             for d in range(3):
                 ed = float(e[i, d])
                 if ed:
-                    mom[d] = mom[d] + (fti if ed == 1.0 else -fti)
-        u = [(mom[d] + 0.5 * force[d]) * rinv for d in range(3)]
+                    t = fti if ed == 1.0 else -fti
+                    mom[d] = t if mom[d] is None else mom[d] + t
+        u = [(mom[d] + 0.5 * force[d]) * rinv3 for d in range(3)]
         if params.tau_type == 1:
             a0 = 0.5 / (tau_r - 0.5) + 0.5 / (tau_b - 0.5)
             a1 = 0.5 / (tau_r - 0.5) - 0.5 / (tau_b - 0.5)
-            amid = a0 + a1 * phi
+            amid = a0 + a1 * phi3
             inv_mid = amid / (0.5 * amid + 1.0)
         else:
             cr = 3.0 / (tau_r - 0.5)
             cb = 3.0 / (tau_b - 0.5)
-            q = (rho_r * cr + rho_b * cb) * rinv
+            rho3 = rho_r3 + rho_b3
+            q = (rho_r3 * cr + rho_b3 * cb) / jnp.where(rho3 > 0, rho3, 1.0)
             inv_mid = q / (3.0 + 0.5 * q)
-        inv_tau = jnp.where(phi > delta, 1.0 / tau_r,
-                            jnp.where(phi < -delta, 1.0 / tau_b, inv_mid))
+        inv_tau = jnp.where(phi3 > delta, 1.0 / tau_r,
+                            jnp.where(phi3 < -delta, 1.0 / tau_b, inv_mid))
         pref = 1.0 - 0.5 * inv_tau
-        feq, src = _feq_src3(rho, u, force)
+        rho3 = rho_r3 + rho_b3
+        feq, src = _feq_src3(jnp.where(rho3 > 0, rho3, 1.0) * 0.0 + rho3,
+                             u, force)
         post = [None] * Q
         for i in range(Q):
-            fti = ft[i]
+            fti = ft3[i]
             post[i] = fti - (fti - feq[i]) * inv_tau + pref * src[i]
         return post
 
-    def _seg_terms(rho_r, rho_b, rinv, g, g_rinv):
-        """(frac_r, seg dict by direction): seg_opp = -seg_i.  Kept as a
-        small closure so the recolored red PDFs can be materialized one
-        direction at a time inside the streaming loop (VMEM: 19 fewer
-        live (W, ny, nx) planes than a full fr_post list)."""
-        frac_r = rho_r * rinv
-        segc = (beta * rho_r * rho_b * rinv) * g_rinv
-        eg = {1: g[0], 3: g[1], 5: g[2], 7: g[0] + g[1], 9: g[0] - g[1],
-              11: g[0] + g[2], 13: g[0] - g[2], 15: g[1] + g[2],
-              17: g[1] - g[2]}
+    def _seg_terms(rho_r3, rho_b3, rinv3, g3, g_rinv3):
+        """(frac_r, seg dict by direction) on the offset-3 range:
+        seg_opp = -seg_i."""
+        frac_r = rho_r3 * rinv3
+        segc = (beta * rho_r3 * rho_b3 * rinv3) * g_rinv3
+        eg = {1: g3[0], 3: g3[1], 5: g3[2], 7: g3[0] + g3[1],
+              9: g3[0] - g3[1], 11: g3[0] + g3[2], 13: g3[0] - g3[2],
+              15: g3[1] + g3[2], 17: g3[1] - g3[2]}
         seg = {0: None}
         for i, io in _PAIRS3:
             s = (float(w_lat[i]) * segc) * eg[i]
@@ -372,164 +409,224 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                        (1.0 + 3.0 * eu + 4.5 * eu * eu - 1.5 * vz * vz))
         return out
 
-    def _apply_bcs_window_c(ft, rho_r, fl, zrows):
-        flb = fl > 0.5
+    def _zsh_pad(a, dz: int):
+        """Full-length z-shift a(z+dz) with clamp padding: the |dz| rows
+        at the shifted-in edge carry garbage, which the post-BC shrink
+        discards (same absorption as the old roll-wrap scheme)."""
+        if dz > 0:
+            return jnp.concatenate([a[dz:], a[-dz:]], axis=0)
+        return jnp.concatenate([a[:-dz], a[:dz]], axis=0)
+
+    def _zpad1(a):
+        """Pad a cut-by-1 array back to full length with one (garbage)
+        clamp row per side; the post-BC shrink discards those rows."""
+        return jnp.concatenate([a[:1], a, a[-1:]], axis=0)
+
+    # BC application consumes one slab per side (its ghost copies read
+    # z+-1): inputs valid on length-n range, outputs on n-2 (offset +1).
+    # The ghost-slab/convective cascade reads the *updated* arrays (the
+    # reference applies them sequentially), so the rewrites run at full
+    # length and the shrink happens at the end.
+    def _apply_bcs_window_c(ft, rho_r, flf, zrowsf):
+        flbf = flf > 0.5
         ft = list(ft)
-        rho_row = sum(ft)
+        ftm = [_zcut(f, 1) for f in ft]
+        rho_row = sum(ftm)
         rho_row_s = jnp.where(rho_row != 0, rho_row, 1.0)
-        ratio_r = rho_r / rho_row_s
+        ratio_r = _zcut(rho_r, 1) / rho_row_s
 
         if inlet_kind == "velocity":
             vz = inlet_vz
-            s0 = sum(ft[i] for i in _EZ_ZERO)
-            sp = sum(ft[i] for i in _EZ_PLUS)
+            s0 = sum(ftm[i] for i in _EZ_ZERO)
+            sp = sum(ftm[i] for i in _EZ_PLUS)
             rho = (s0 + 2.0 * sp) / (1.0 + vz)
             feq = _feq_vz(rho, vz)
-            m = jnp.logical_and(zrows == nz - 2, flb)
             dsum = None
+            news = {}
             for i in _EZ_MINUS:
                 io = int(opp[i])
-                val = feq[i] + (ft[io] - feq[io])
-                dv = val - ft[i]
+                val = feq[i] + (ftm[io] - feq[io])
+                dv = val - ftm[i]
                 dsum = dv if dsum is None else dsum + dv
-                ft[i] = jnp.where(m, val, ft[i])
-            rho_r = jnp.where(m, rho_r + ratio_r * dsum, rho_r)
-            # ghost slab nz-1 copies nz-2 (value at z of a(z-1))
-            m = jnp.logical_and(zrows == nz - 1, flb)
+                news[i] = val
+            mf = jnp.logical_and(zrowsf == nz - 2, flbf)
+            for i in _EZ_MINUS:
+                ft[i] = jnp.where(mf, _zpad1(news[i]), ft[i])
+            rho_r = jnp.where(mf, _zpad1(_zcut(rho_r, 1) + ratio_r * dsum),
+                              rho_r)
+            # ghost slab nz-1 copies the *updated* nz-2
+            mf = jnp.logical_and(zrowsf == nz - 1, flbf)
             for i in range(Q):
-                ft[i] = jnp.where(m, shz(ft[i], -1), ft[i])
-            rho_r = jnp.where(m, shz(rho_r, -1), rho_r)
+                ft[i] = jnp.where(mf, _zsh_pad(ft[i], -1), ft[i])
+            rho_r = jnp.where(mf, _zsh_pad(rho_r, -1), rho_r)
 
         if outlet_kind == "convective":
             for k in (2, 1, 0):
-                m = jnp.logical_and(zrows == k, flb)
+                mf = jnp.logical_and(zrowsf == k, flbf)
                 for i in range(Q):
-                    ft[i] = jnp.where(m, shz(ft[i], 1), ft[i])
-                rho_r = jnp.where(m, shz(rho_r, 1), rho_r)
+                    ft[i] = jnp.where(mf, _zsh_pad(ft[i], 1), ft[i])
+                rho_r = jnp.where(mf, _zsh_pad(rho_r, 1), rho_r)
         elif outlet_kind == "dirichlet":
-            s0 = sum(ft[i] for i in _EZ_ZERO)
-            sm = sum(ft[i] for i in _EZ_MINUS)
+            ftm = [_zcut(f, 1) for f in ft]
+            rho_row = sum(ftm)
+            ratio_r = _zcut(rho_r, 1) / jnp.where(rho_row != 0, rho_row,
+                                                  1.0)
+            s0 = sum(ftm[i] for i in _EZ_ZERO)
+            sm = sum(ftm[i] for i in _EZ_MINUS)
             vz = 1.0 - (s0 + 2.0 * sm) / outlet_rho
             feq = _feq_vz(outlet_rho, vz)
-            m = jnp.logical_and(zrows == 1, flb)
             dsum = None
+            news = {}
             for i in _EZ_PLUS:
                 io = int(opp[i])
-                val = feq[i] + (ft[io] - feq[io])
-                dv = val - ft[i]
+                val = feq[i] + (ftm[io] - feq[io])
+                dv = val - ftm[i]
                 dsum = dv if dsum is None else dsum + dv
-                ft[i] = jnp.where(m, val, ft[i])
-            rho_r = jnp.where(m, rho_r + ratio_r * dsum, rho_r)
-            m = jnp.logical_and(zrows == 0, flb)
+                news[i] = val
+            mf = jnp.logical_and(zrowsf == 1, flbf)
+            for i in _EZ_PLUS:
+                ft[i] = jnp.where(mf, _zpad1(news[i]), ft[i])
+            rho_r = jnp.where(mf, _zpad1(_zcut(rho_r, 1) + ratio_r * dsum),
+                              rho_r)
+            mf = jnp.logical_and(zrowsf == 0, flbf)
             for i in range(Q):
-                ft[i] = jnp.where(m, shz(ft[i], 1), ft[i])
-            rho_r = jnp.where(m, shz(rho_r, 1), rho_r)
-        return ft, rho_r
+                ft[i] = jnp.where(mf, _zsh_pad(ft[i], 1), ft[i])
+            rho_r = jnp.where(mf, _zsh_pad(rho_r, 1), rho_r)
+        return [_zcut(f, 1) for f in ft], _zcut(rho_r, 1)
 
-    def _apply_bcs_window(fr, fb, fl, zrows):
+    def _apply_bcs_window(fr, fb, flf, zrowsf):
         """Split-state BC slabs: only the unknown directions are rewritten,
         split by the pre-rewrite local red fraction (mirrors
         ``ColorGradientRK3D._apply_inlet/_apply_outlet``)."""
-        flb = fl > 0.5
+        flbf = flf > 0.5
         fr = list(fr)
         fb = list(fb)
-        rho_r_row = sum(fr)
-        rho_t_row = rho_r_row + sum(fb)
-        ratio = rho_r_row / jnp.where(rho_t_row != 0, rho_t_row, 1.0)
 
         if inlet_kind == "velocity":
             vz = inlet_vz
-            ft = [fr[i] + fb[i] for i in range(Q)]
+            frm = [_zcut(f, 1) for f in fr]
+            fbm = [_zcut(f, 1) for f in fb]
+            rho_r_row = sum(frm)
+            rho_t_row = rho_r_row + sum(fbm)
+            ratio = rho_r_row / jnp.where(rho_t_row != 0, rho_t_row, 1.0)
+            ft = [frm[i] + fbm[i] for i in range(Q)]
             s0 = sum(ft[i] for i in _EZ_ZERO)
             sp = sum(ft[i] for i in _EZ_PLUS)
             rho = (s0 + 2.0 * sp) / (1.0 + vz)
             feq = _feq_vz(rho, vz)
-            m = jnp.logical_and(zrows == nz - 2, flb)
+            mf = jnp.logical_and(zrowsf == nz - 2, flbf)
             for i in _EZ_MINUS:
                 io = int(opp[i])
                 val = feq[i] + (ft[io] - feq[io])
-                fr[i] = jnp.where(m, ratio * val, fr[i])
-                fb[i] = jnp.where(m, (1.0 - ratio) * val, fb[i])
-            m = jnp.logical_and(zrows == nz - 1, flb)
+                fr[i] = jnp.where(mf, _zpad1(ratio * val), fr[i])
+                fb[i] = jnp.where(mf, _zpad1((1.0 - ratio) * val), fb[i])
+            mf = jnp.logical_and(zrowsf == nz - 1, flbf)
             for i in range(Q):
-                fr[i] = jnp.where(m, shz(fr[i], -1), fr[i])
-                fb[i] = jnp.where(m, shz(fb[i], -1), fb[i])
+                fr[i] = jnp.where(mf, _zsh_pad(fr[i], -1), fr[i])
+                fb[i] = jnp.where(mf, _zsh_pad(fb[i], -1), fb[i])
 
         if outlet_kind == "convective":
             for k in (2, 1, 0):
-                m = jnp.logical_and(zrows == k, flb)
+                mf = jnp.logical_and(zrowsf == k, flbf)
                 for i in range(Q):
-                    fr[i] = jnp.where(m, shz(fr[i], 1), fr[i])
-                    fb[i] = jnp.where(m, shz(fb[i], 1), fb[i])
+                    fr[i] = jnp.where(mf, _zsh_pad(fr[i], 1), fr[i])
+                    fb[i] = jnp.where(mf, _zsh_pad(fb[i], 1), fb[i])
         elif outlet_kind == "dirichlet":
-            ft = [fr[i] + fb[i] for i in range(Q)]
+            frm = [_zcut(f, 1) for f in fr]
+            fbm = [_zcut(f, 1) for f in fb]
+            rho_r_row = sum(frm)
+            rho_t_row = rho_r_row + sum(fbm)
+            ratio = rho_r_row / jnp.where(rho_t_row != 0, rho_t_row, 1.0)
+            ft = [frm[i] + fbm[i] for i in range(Q)]
             s0 = sum(ft[i] for i in _EZ_ZERO)
             sm = sum(ft[i] for i in _EZ_MINUS)
             vz = 1.0 - (s0 + 2.0 * sm) / outlet_rho
             feq = _feq_vz(outlet_rho, vz)
-            m = jnp.logical_and(zrows == 1, flb)
+            mf = jnp.logical_and(zrowsf == 1, flbf)
             for i in _EZ_PLUS:
                 io = int(opp[i])
                 val = feq[i] + (ft[io] - feq[io])
-                fr[i] = jnp.where(m, ratio * val, fr[i])
-                fb[i] = jnp.where(m, (1.0 - ratio) * val, fb[i])
-            m = jnp.logical_and(zrows == 0, flb)
+                fr[i] = jnp.where(mf, _zpad1(ratio * val), fr[i])
+                fb[i] = jnp.where(mf, _zpad1((1.0 - ratio) * val), fb[i])
+            mf = jnp.logical_and(zrowsf == 0, flbf)
             for i in range(Q):
-                fr[i] = jnp.where(m, shz(fr[i], 1), fr[i])
-                fb[i] = jnp.where(m, shz(fb[i], 1), fb[i])
-        return fr, fb
+                fr[i] = jnp.where(mf, _zsh_pad(fr[i], 1), fr[i])
+                fb[i] = jnp.where(mf, _zsh_pad(fb[i], 1), fb[i])
+        return [_zcut(f, 1) for f in fr], [_zcut(f, 1) for f in fb]
 
-    # -- one physics sub-step ---------------------------------------------
-    # upwind-solid masks are computed per direction inside the loops (not
-    # hoisted): 18 extra (W, ny, nx) mask planes do not fit VMEM in 3D.
-    def _substep_c(ft, rho_r, fl, wet, nsx, nsy, nsz, den_inv, solid):
+    # -- one physics sub-step ----------------------------------------------
+    # Inputs valid on a length-n window range; outputs on n-8 (offset +4).
+    # `gcut(ch, k)` slices geometry channel `ch` to the current range
+    # shrunk by k slabs per side; `solid_sh(i, k)` gives the upwind-solid
+    # mask for direction i on that range (z by slice, x/y by roll).
+    def _substep_c(ft, rho_r, gcut, solid_sh):
         rho = sum(ft)
         rho_b = rho - rho_r
-        rho_safe, rinv, phi, g, force, g2, g_rinv = \
-            _fields(rho_r, rho_b, rho, fl, wet, nsx, nsy, nsz, den_inv)
-        post = _collide_total(ft, rho_r, rho_b, rho, rinv, phi, force)
-        frac_r, seg = _seg_terms(rho_r, rho_b, rinv, g, g_rinv)
+        rinv, phi, g, force, g2, g_rinv = _fields(rho_r, rho_b, rho, gcut)
+        ft3 = [_zcut(f, 3) for f in ft]
+        rho_r3 = _zcut(rho_r, 3)
+        rho_b3 = _zcut(rho_b, 3)
+        rinv3 = _zcut(rinv, 3)
+        post = _collide_total(ft3, rho_r3, rho_b3, rinv3, _zcut(phi, 3),
+                              force)
+        g3 = [_zcut(c, 1) for c in g]
+        frac_r, seg = _seg_terms(rho_r3, rho_b3, rinv3, g3, _zcut(g_rinv, 1))
 
         def frp(i):
             return frac_r * post[i] + seg[i] if seg[i] is not None \
                 else frac_r * post[i]
 
-        out_t = [post[0] * fl]
-        rho_r_new = frp(0)
+        fl4 = gcut(0, 4)
+        frp_c = [frp(i) for i in range(Q)]
+        out_t = [_zcut(post[0], 1) * fl4]
+        rho_r_new = _zcut(frp_c[0], 1)
         for i in range(1, Q):
             io = int(opp[i])
-            us_i = sh_back(solid, i) > 0.5
-            out_t.append(jnp.where(us_i, post[io],
-                                   sh_back(post[i], i)) * fl)
-            rho_r_new = rho_r_new + jnp.where(us_i, frp(io),
-                                              sh_back(frp(i), i))
-        return out_t, rho_r_new * fl
+            dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
+            us_i = solid_sh(i) > 0.5
+            pulled = _rollxy(_zsh(post[i], -dz, 1), -dx, -dy, nx, ny)
+            out_t.append(jnp.where(us_i, _zcut(post[io], 1), pulled) * fl4)
+            pulled_r = _rollxy(_zsh(frp_c[i], -dz, 1), -dx, -dy, nx, ny)
+            rho_r_new = rho_r_new + jnp.where(us_i, _zcut(frp_c[io], 1),
+                                              pulled_r)
+        return out_t, rho_r_new * fl4
 
-    def _substep(fr, fb, fl, wet, nsx, nsy, nsz, den_inv, solid):
+    def _substep(fr, fb, gcut, solid_sh):
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
-        rho_safe, rinv, phi, g, force, g2, g_rinv = \
-            _fields(rho_r, rho_b, rho, fl, wet, nsx, nsy, nsz, den_inv)
-        ft = [fr[i] + fb[i] for i in range(Q)]
-        post = _collide_total(ft, rho_r, rho_b, rho, rinv, phi, force)
-        frac_r, seg = _seg_terms(rho_r, rho_b, rinv, g, g_rinv)
+        rinv, phi, g, force, g2, g_rinv = _fields(rho_r, rho_b, rho, gcut)
+        ft3 = [_zcut(fr[i], 3) + _zcut(fb[i], 3) for i in range(Q)]
+        rho_r3 = _zcut(rho_r, 3)
+        rho_b3 = _zcut(rho_b, 3)
+        rinv3 = _zcut(rinv, 3)
+        post = _collide_total(ft3, rho_r3, rho_b3, rinv3, _zcut(phi, 3),
+                              force)
+        g3 = [_zcut(c, 1) for c in g]
+        frac_r, seg = _seg_terms(rho_r3, rho_b3, rinv3, g3, _zcut(g_rinv, 1))
 
         def frp(i):
             return frac_r * post[i] + seg[i] if seg[i] is not None \
                 else frac_r * post[i]
 
-        out_r = [frp(0) * fl]
-        out_b = [(post[0] - frp(0)) * fl]
+        fl4 = gcut(0, 4)
+        frp_c = [frp(i) for i in range(Q)]
+        out_r = [_zcut(frp_c[0], 1) * fl4]
+        out_b = [_zcut(post[0] - frp_c[0], 1) * fl4]
         for i in range(1, Q):
             io = int(opp[i])
-            us_i = sh_back(solid, i) > 0.5
-            fr_i = frp(i)
-            fr_io = frp(io)
-            out_r.append(jnp.where(us_i, fr_io, sh_back(fr_i, i)) * fl)
-            out_b.append(jnp.where(us_i, post[io] - fr_io,
-                                   sh_back(post[i] - fr_i, i)) * fl)
+            dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
+            us_i = solid_sh(i) > 0.5
+            fb_i = post[i] - frp_c[i]
+            pulled_r = _rollxy(_zsh(frp_c[i], -dz, 1), -dx, -dy, nx, ny)
+            pulled_b = _rollxy(_zsh(fb_i, -dz, 1), -dx, -dy, nx, ny)
+            out_r.append(jnp.where(us_i, _zcut(frp_c[io], 1), pulled_r)
+                         * fl4)
+            out_b.append(jnp.where(us_i, _zcut(post[io] - frp_c[io], 1),
+                                   pulled_b) * fl4)
         return out_r, out_b
+
+    shrink = 5 if bc_in_kernel else 4
 
     def kernel(*refs):
         if is_local:
@@ -553,10 +650,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
         else:
             geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
-        fl = geo[0]
-        wet = geo[1]
-        den_inv = geo[5]
-        solid = 1.0 - fl
+        solid = 1.0 - geo[0]
         if compressed:
             if is_local:
                 s = jnp.concatenate([s_u, s_c[:], s_d], axis=1)
@@ -569,61 +663,85 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
             fr = [f_r[i] for i in range(Q)]
             fb = [f_b[i] for i in range(Q)]
-        zrows = None
+        zrows_full = None
         is_edge = None
         if bc_in_kernel:
             i0 = pl.program_id(0)
             z_iota = jax.lax.broadcasted_iota(jnp.int32, (W, ny, nx), 0)
-            zrows = (i0 * R - H + z_iota) % nz
+            zrows_full = (i0 * R - H + z_iota) % nz
             if interpret:
                 start = (i0 * R - H) % nz
                 is_edge = False
                 for k in (0, 1, 2, nz - 2, nz - 1):
                     hit = ((k - start) % nz) < W
                     is_edge = jnp.logical_or(is_edge, hit)
-        for _ in range(T):
-            # compiled mode: unconditional masked BC rewrites (a lax.cond
-            # would materialize both branches = a full state copy);
-            # interpret mode: cond, because XLA-CPU execution of the
-            # unconditional select chains is pathologically slow
+        for t in range(T):
+            off = t * shrink  # current absolute window offset
             if compressed:
                 if bc_in_kernel:
+                    flf = _zcut(geo[0], off)
+                    zrf = _zcut(zrows_full, off)
                     if interpret:
                         ft, rho_r = jax.lax.cond(
                             is_edge,
-                            lambda t: _apply_bcs_window_c(t[0], t[1], fl,
-                                                          zrows),
-                            lambda t: (list(t[0]), t[1]),
+                            lambda a: _apply_bcs_window_c(a[0], a[1],
+                                                          flf, zrf),
+                            lambda a: ([_zcut(f, 1) for f in a[0]],
+                                       _zcut(a[1], 1)),
                             (tuple(ft), rho_r))
                     else:
-                        ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl,
-                                                        zrows)
-                ft, rho_r = _substep_c(ft, rho_r, fl, wet, geo[2], geo[3],
-                                       geo[4], den_inv, solid)
+                        ft, rho_r = _apply_bcs_window_c(ft, rho_r, flf,
+                                                        zrf)
+                base = off + (shrink - 4)
+
+                def gcut_s(ch, k, _b=base):
+                    return _zcut(geo[ch], _b + k)
+
+                def solid_sh_s(i, _b=base):
+                    dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
+                    return _rollxy(_zsh(_zcut(solid, _b + 3), -dz, 1),
+                                   -dx, -dy, nx, ny)
+
+                ft, rho_r = _substep_c(ft, rho_r, gcut_s, solid_sh_s)
             else:
                 if bc_in_kernel:
+                    flf = _zcut(geo[0], off)
+                    zrf = _zcut(zrows_full, off)
                     if interpret:
                         fr, fb = jax.lax.cond(
                             is_edge,
-                            lambda t: _apply_bcs_window(list(t[0]),
-                                                        list(t[1]), fl,
-                                                        zrows),
-                            lambda t: (list(t[0]), list(t[1])),
+                            lambda a: _apply_bcs_window(list(a[0]),
+                                                        list(a[1]),
+                                                        flf, zrf),
+                            lambda a: ([_zcut(f, 1) for f in a[0]],
+                                       [_zcut(f, 1) for f in a[1]]),
                             (tuple(fr), tuple(fb)))
                     else:
-                        fr, fb = _apply_bcs_window(fr, fb, fl, zrows)
-                fr, fb = _substep(fr, fb, fl, wet, geo[2], geo[3], geo[4],
-                                  den_inv, solid)
+                        fr, fb = _apply_bcs_window(fr, fb, flf, zrf)
+                base = off + (shrink - 4)
+
+                def gcut_s(ch, k, _b=base):
+                    return _zcut(geo[ch], _b + k)
+
+                def solid_sh_s(i, _b=base):
+                    dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
+                    return _rollxy(_zsh(_zcut(solid, _b + 3), -dz, 1),
+                                   -dx, -dy, nx, ny)
+
+                fr, fb = _substep(fr, fb, gcut_s, solid_sh_s)
+        # final arrays valid on [T*shrink, W - T*shrink); emit [H, H+R)
+        lo = T * shrink
+        o0 = H - lo
         if compressed:
             out_s = outs[0]
             for i in range(Q):
-                out_s[i] = ft[i][H:H + R]
-            out_s[Q] = rho_r[H:H + R]
+                out_s[i] = ft[i][o0:o0 + R]
+            out_s[Q] = rho_r[o0:o0 + R]
             return
         out_r, out_b = outs[0], outs[1]
         for i in range(Q):
-            out_r[i] = fr[i][H:H + R]
-            out_b[i] = fb[i][H:H + R]
+            out_r[i] = fr[i][o0:o0 + R]
+            out_b[i] = fb[i][o0:o0 + R]
 
     n_st = Q + 1 if compressed else Q
     center = pl.BlockSpec((n_st, R, ny, nx), lambda i: (0, i, 0, 0))
