@@ -151,7 +151,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          transport_params=None,
                          state_mode: str = "split",
                          local_ny: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         band_wetting: bool = True):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
     `transport_params` the coupled step ``(f_r, f_b, g) -> (f_r', f_b',
     g')`` advancing phase-confined tracers alongside the flow (the fused
@@ -286,9 +287,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     def _row_mask(rows_g, k):
         return rows_g == k
 
-    def _apply_bcs_window(f_r, f_b, fl, rows_g):
+    def _apply_bcs_window(f_r, f_b, fl, rows_g, w=None):
         """Rewrite the inlet/outlet rows wherever they appear in the window
-        (mirrors ``ColorGradientRK._apply_inlet/_apply_outlet``)."""
+        (mirrors ``ColorGradientRK._apply_inlet/_apply_outlet``).  `w` is
+        the row count of the (possibly sliced) operands."""
+        w = W if w is None else w
         flb = fl > 0.5
 
         def set_rows(f, i, k, vals):
@@ -337,15 +340,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # ghost row ny-1 copies ny-2 (value at r of roll(-1) is f[r-1])
             m = jnp.logical_and(_row_mask(rows_g, ny - 1), flb)
             for i in range(9):
-                fr[i] = jnp.where(m, _rolly(fr[i], -1, W), fr[i])
-                fb[i] = jnp.where(m, _rolly(fb[i], -1, W), fb[i])
+                fr[i] = jnp.where(m, _rolly(fr[i], -1, w), fr[i])
+                fb[i] = jnp.where(m, _rolly(fb[i], -1, w), fb[i])
 
         if outlet_kind == "convective":
             for k in (2, 1, 0):
                 m = jnp.logical_and(_row_mask(rows_g, k), flb)
                 for i in range(9):
-                    fr[i] = jnp.where(m, _rolly(fr[i], 1, W), fr[i])
-                    fb[i] = jnp.where(m, _rolly(fb[i], 1, W), fb[i])
+                    fr[i] = jnp.where(m, _rolly(fr[i], 1, w), fr[i])
+                    fb[i] = jnp.where(m, _rolly(fb[i], 1, w), fb[i])
         elif outlet_kind == "dirichlet":
             # total-PDF pressure outlet on row 1 + ghost copy row 0
             ft = [fr[i] + fb[i] for i in range(9)]
@@ -367,15 +370,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fb[i] = jnp.where(m, (1.0 - ratio_r) * val, fb[i])
             m = jnp.logical_and(_row_mask(rows_g, 0), flb)
             for i in range(9):
-                fr[i] = jnp.where(m, _rolly(fr[i], 1, W), fr[i])
-                fb[i] = jnp.where(m, _rolly(fb[i], 1, W), fb[i])
+                fr[i] = jnp.where(m, _rolly(fr[i], 1, w), fr[i])
+                fb[i] = jnp.where(m, _rolly(fb[i], 1, w), fb[i])
         return fr, fb
 
-    def _apply_bcs_window_c(ft, rho_r, fl, rows_g):
+    def _apply_bcs_window_c(ft, rho_r, fl, rows_g, w=None):
         """Compressed-state BC rows.  Per-direction color splits on BC rows
         are reconstructed from the local density ratio — exact whenever the
         inlet/outlet rows are single-phase (the reference's buffer-layer
         init guarantees this; see DEVIATIONS.md)."""
+        w = W if w is None else w
         flb = fl > 0.5
         ft = list(ft)
 
@@ -419,15 +423,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         if inlet_kind in ("neumann", "dirichlet"):
             m = jnp.logical_and(_row_mask(rows_g, ny - 1), flb)
             for i in range(9):
-                ft[i] = jnp.where(m, _rolly(ft[i], -1, W), ft[i])
-            rho_r = jnp.where(m, _rolly(rho_r, -1, W), rho_r)
+                ft[i] = jnp.where(m, _rolly(ft[i], -1, w), ft[i])
+            rho_r = jnp.where(m, _rolly(rho_r, -1, w), rho_r)
 
         if outlet_kind == "convective":
             for k in (2, 1, 0):
                 m = jnp.logical_and(_row_mask(rows_g, k), flb)
                 for i in range(9):
-                    ft[i] = jnp.where(m, _rolly(ft[i], 1, W), ft[i])
-                rho_r = jnp.where(m, _rolly(rho_r, 1, W), rho_r)
+                    ft[i] = jnp.where(m, _rolly(ft[i], 1, w), ft[i])
+                rho_r = jnp.where(m, _rolly(rho_r, 1, w), rho_r)
         elif outlet_kind == "dirichlet":
             vy = 1.0 - (ft[0] + ft[1] + ft[3] +
                         2.0 * (ft[4] + ft[7] + ft[8])) / outlet_rho
@@ -443,9 +447,96 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 ft[i] = jnp.where(m, news[i], ft[i])
             m = jnp.logical_and(_row_mask(rows_g, 0), flb)
             for i in range(9):
-                ft[i] = jnp.where(m, _rolly(ft[i], 1, W), ft[i])
-            rho_r = jnp.where(m, _rolly(rho_r, 1, W), rho_r)
+                ft[i] = jnp.where(m, _rolly(ft[i], 1, w), ft[i])
+            rho_r = jnp.where(m, _rolly(rho_r, 1, w), rho_r)
         return ft, rho_r
+
+    # lane-banded wetting: when every wetting consumer column (solid with
+    # a fluid neighbor, or wet fluid) lives in the first/last 128-lane
+    # block — e.g. channel side walls — the solid-phi extrapolation and
+    # the contact-angle rotation run on a 256-lane band
+    # concat(last block, first block) whose center seam IS the true
+    # periodic x-adjacency; results merge back with two aligned
+    # lane-block updates, cutting the wetting arithmetic ~4x at nx=1024.
+    # Consumers at the band's outer edge columns (127, nx-128) would tap
+    # garbage across the band wrap, so they disable the banding.
+    wet_banded = False
+    if band_wetting and has_wetting and nx % 128 == 0 and nx // 128 >= 4:
+        cons = (geometry.is_solid & (geo_np[4] > 0)).any(axis=0) | \
+            wet_fluid.astype(bool).any(axis=0)
+        cols = np.where(cons)[0]
+        wet_banded = bool(
+            cols.size and np.all((cols <= 126) | (cols >= nx - 127)))
+
+    # Mosaic has no value-level dynamic_update_slice and multi-piece
+    # concatenates compile pathologically, so compiled-mode partial
+    # writebacks round-trip through a (W, nx) VMEM scratch ref: full
+    # plane store, two small static-offset patches, reload.  Interpret
+    # mode (XLA-CPU) keeps the value-level DUS, which is cheap there.
+    _scr_cell = []
+
+    def _xband(a):
+        return jnp.concatenate([a[..., nx - 128:], a[..., :128]], axis=-1)
+
+    def _unband(full, band):
+        if not _scr_cell:
+            full = jax.lax.dynamic_update_slice(full, band[..., 128:],
+                                                (0, 0))
+            return jax.lax.dynamic_update_slice(full, band[..., :128],
+                                                (0, nx - 128))
+        scr = _scr_cell[0]
+        scr[...] = full
+        scr[:, 0:128] = band[:, 128:]
+        scr[:, nx - 128:nx] = band[:, :128]
+        return scr[...]
+
+    def _rotate_wetting(gx, gy, ns_x, ns_y):
+        """Contact-angle gradient rotation (Xu 2017 / Akai 2018);
+        pointwise, so it runs on lane bands or the full window alike."""
+        g2w = gx * gx + gy * gy
+        safe = g2w > _EPS * _EPS
+        g_rinvw = jax.lax.rsqrt(jnp.where(safe, g2w, 1.0))
+        norm = g2w * g_rinvw
+        if inward:  # Akai 2018 (wetting_type == 2)
+            ux_ = jnp.where(safe, -gx * g_rinvw, 0.0)
+            uy_ = jnp.where(safe, -gy * g_rinvw, 0.0)
+            dot = jnp.clip(ux_ * ns_x + uy_ * ns_y, -1.0, 1.0)
+            # cos(theta_gs) = dot, sin = sqrt(1 - dot^2): no arccos
+            # (acos does not lower on TPU).
+            sin2 = jnp.maximum(1.0 - dot * dot, 0.0)
+            ok = sin2 > 1.0e-18
+            rsin = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, sin2, 1.0)),
+                             0.0)
+            c1 = sin_t * dot * rsin
+            c2 = sin_t * rsin
+            n1x = (cos_t - c1) * ns_x + c2 * ux_
+            n1y = (cos_t - c1) * ns_y + c2 * uy_
+            n2x = (cos_t + c1) * ns_x - c2 * ux_
+            n2y = (cos_t + c1) * ns_y - c2 * uy_
+            d1 = (n1x - ux_) ** 2 + (n1y - uy_) ** 2
+            d2 = (n2x - ux_) ** 2 + (n2y - uy_) ** 2
+            pick1 = d1 < d2
+            tie = d1 == d2
+            mx_ = jnp.where(pick1, n1x, n2x)
+            my_ = jnp.where(pick1, n1y, n2y)
+            gx_new = jnp.where(tie, gx, -norm * mx_)
+            gy_new = jnp.where(tie, gy, -norm * my_)
+        else:  # Xu 2017 (wetting_type == 1)
+            ux_ = jnp.where(safe, gx * g_rinvw, 0.0)
+            uy_ = jnp.where(safe, gy * g_rinvw, 0.0)
+            n1x = ns_x * cos_t - ns_y * sin_t
+            n1y = ns_y * cos_t + ns_x * sin_t
+            n2x = ns_x * cos_t + ns_y * sin_t
+            n2y = ns_y * cos_t - ns_x * sin_t
+            d1 = (ux_ - n1x) ** 2 + (uy_ - n1y) ** 2
+            d2 = (ux_ - n2x) ** 2 + (uy_ - n2y) ** 2
+            mx_ = jnp.where(d1 < d2, n1x,
+                            jnp.where(d1 > d2, n2x, ns_x))
+            my_ = jnp.where(d1 < d2, n1y,
+                            jnp.where(d1 > d2, n2y, ns_y))
+            gx_new = norm * mx_
+            gy_new = norm * my_
+        return gx_new, gy_new
 
     # -- flow fields (phi, wetted gradient, CSF force) on the full window ---
     def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv):
@@ -453,7 +544,17 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         rinv = 1.0 / rho_safe
         phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
 
-        if has_wetting:
+        if has_wetting and wet_banded:
+            shb = functools.partial(_sh, nx=256, w=W)
+            phi_b = _xband(phi)
+            pns = shb(phi_b, 0, 1) + shb(phi_b, 0, -1)
+            num = (1.0 / 9.0) * (shb(phi_b, 1, 0) + shb(phi_b, -1, 0)
+                                 + pns) + \
+                (1.0 / 36.0) * (shb(pns, 1, 0) + shb(pns, -1, 0))
+            ext_b = jnp.where(_xband(fl) > 0.5, phi_b,
+                              num * _xband(den_inv))
+            phi_ext = _unband(phi, ext_b)
+        elif has_wetting:
             # phi is pre-masked by fl, so sh(phi) is already zero at solid
             # neighbors; the static denominator rides in as den_inv (zero
             # where no fluid neighbor exists).  Diagonal taps are x-shifts
@@ -468,50 +569,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # isotropic gradient 3 Σ w_i e_i phi_ext(x+e_i)
         gx, gy = _grad2d(phi_ext, 1.0 / 3.0, 1.0 / 12.0)
 
-        if has_wetting:
-            g2w = gx * gx + gy * gy
-            safe = g2w > _EPS * _EPS
-            g_rinvw = jax.lax.rsqrt(jnp.where(safe, g2w, 1.0))
-            norm = g2w * g_rinvw
-            if inward:  # Akai 2018 (wetting_type == 2)
-                ux_ = jnp.where(safe, -gx * g_rinvw, 0.0)
-                uy_ = jnp.where(safe, -gy * g_rinvw, 0.0)
-                dot = jnp.clip(ux_ * ns_x + uy_ * ns_y, -1.0, 1.0)
-                # cos(theta_gs) = dot, sin = sqrt(1 - dot^2): no arccos
-                # (acos does not lower on TPU).
-                sin2 = jnp.maximum(1.0 - dot * dot, 0.0)
-                ok = sin2 > 1.0e-18
-                rsin = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, sin2, 1.0)),
-                                 0.0)
-                c1 = sin_t * dot * rsin
-                c2 = sin_t * rsin
-                n1x = (cos_t - c1) * ns_x + c2 * ux_
-                n1y = (cos_t - c1) * ns_y + c2 * uy_
-                n2x = (cos_t + c1) * ns_x - c2 * ux_
-                n2y = (cos_t + c1) * ns_y - c2 * uy_
-                d1 = (n1x - ux_) ** 2 + (n1y - uy_) ** 2
-                d2 = (n2x - ux_) ** 2 + (n2y - uy_) ** 2
-                pick1 = d1 < d2
-                tie = d1 == d2
-                mx_ = jnp.where(pick1, n1x, n2x)
-                my_ = jnp.where(pick1, n1y, n2y)
-                gx_new = jnp.where(tie, gx, -norm * mx_)
-                gy_new = jnp.where(tie, gy, -norm * my_)
-            else:  # Xu 2017 (wetting_type == 1)
-                ux_ = jnp.where(safe, gx * g_rinvw, 0.0)
-                uy_ = jnp.where(safe, gy * g_rinvw, 0.0)
-                n1x = ns_x * cos_t - ns_y * sin_t
-                n1y = ns_y * cos_t + ns_x * sin_t
-                n2x = ns_x * cos_t + ns_y * sin_t
-                n2y = ns_y * cos_t - ns_x * sin_t
-                d1 = (ux_ - n1x) ** 2 + (uy_ - n1y) ** 2
-                d2 = (ux_ - n2x) ** 2 + (uy_ - n2y) ** 2
-                mx_ = jnp.where(d1 < d2, n1x,
-                                jnp.where(d1 > d2, n2x, ns_x))
-                my_ = jnp.where(d1 < d2, n1y,
-                                jnp.where(d1 > d2, n2y, ns_y))
-                gx_new = norm * mx_
-                gy_new = norm * my_
+        if has_wetting and wet_banded:
+            gx_b = _xband(gx)
+            gy_b = _xband(gy)
+            gx_new, gy_new = _rotate_wetting(gx_b, gy_b, _xband(ns_x),
+                                             _xband(ns_y))
+            wetm = _xband(wet) > 0.5
+            gx = _unband(gx, jnp.where(wetm, gx_new, gx_b))
+            gy = _unband(gy, jnp.where(wetm, gy_new, gy_b))
+        elif has_wetting:
+            gx_new, gy_new = _rotate_wetting(gx, gy, ns_x, ns_y)
             wetm = wet > 0.5
             gx = jnp.where(wetm, gx_new, gx)
             gy = jnp.where(wetm, gy_new, gy)
@@ -607,11 +674,42 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             src[io] = c - d
         return feq, src
 
+    def _src9(ux, uy, fx, fy):
+        """Guo source terms src_i = w_i[3(e·F − u·F) + 9(e·u)(e·F)] for
+        all 9 directions with ±e pair sharing; returns (src, u·F)."""
+        uf = ux * fx + uy * fy
+        eu = [None, ux, uy, None, None, ux + uy, uy - ux, None, None]
+        ef = [None, fx, fy, None, None, fx + fy, fy - fx, None, None]
+        src = [None] * 9
+        src[0] = (4.0 / 9.0) * (-3.0) * uf
+        for i, io in _PAIRS:
+            wi = float(w_lat[i])
+            c = wi * (9.0 * eu[i] * ef[i] - 3.0 * uf)
+            d = (3.0 * wi) * ef[i]
+            src[i] = c + d
+            src[io] = c - d
+        return src, uf
+
     # -- shared collision on the total PDF (returns post list) -------------
     def _collide_total(ft, rho_r, rho_b, rho, rinv, phi, gx, gy, fx, fy):
         # macroscopic velocity and tau(phi)
-        mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
-        my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
+        if is_mrt:
+            # partial sums shared between jx/jy and the moment transform
+            s1p = ft[1] + ft[3]
+            d1 = ft[1] - ft[3]
+            s2p = ft[2] + ft[4]
+            d2 = ft[2] - ft[4]
+            sA = ft[5] + ft[7]
+            p_ = ft[5] - ft[7]
+            sB = ft[6] + ft[8]
+            q_ = ft[6] - ft[8]
+            pq = p_ - q_
+            ppq = p_ + q_
+            mx = d1 + pq
+            my = d2 + ppq
+        else:
+            mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
+            my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
         ux = (mx + 0.5 * fx) * rinv
         uy = (my + 0.5 * fy) * rinv
 
@@ -630,17 +728,63 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         inv_tau = jnp.where(phi > delta, 1.0 / tau_r,
                             jnp.where(phi < -delta, 1.0 / tau_b, inv_mid))
 
-        feq, src = _feq_src(rho, ux, uy, fx, fy)
         post = [None] * 9
         if is_mrt:
-            # f' = f + src - M^-1 S M g with g = (f - feq) + src/2: the
-            # collision and the (I - S/2) force correction share S, so one
-            # moment-transform pair serves both.
-            gmats = [ft[i] - feq[i] + 0.5 * src[i] for i in range(9)]
-            corr = _mrt_relax(gmats, inv_tau)
-            for i in range(9):
-                post[i] = ft[i] + src[i] - corr[i]
+            # Moment-space MRT on the Gram-Schmidt basis (the reference
+            # relaxes in moment space too: calRKCollision1TotalGPU2DMRTM +
+            # moment-space Guo force, AcceleratedRKGPU2D.py:1938-2025,2027):
+            # md_a = s_a (m_a(f) − m_a^eq + S_a/2) with closed-form
+            # equilibrium moments m^eq = (ρ, ρ(3u²−2), ρ(1−3u²), jx, −jx,
+            # jy, −jy, ρ(ux²−uy²), ρ ux uy) and force moments S = (0,
+            # 6u·F, −6u·F, Fx, −Fx, Fy, −Fy, 2(ux Fx − uy Fy),
+            # ux Fy + uy Fx); the sparse-coefficient inverse transform
+            # reconstructs f' = f + src − M⁻¹ md.  Replaces the explicit
+            # 9×9 double transform (~2x fewer VPU ops; feq per direction
+            # is never materialized).
+            src, uf = _src9(ux, uy, fx, fy)
+            S_ = s1p + s2p
+            D_ = sA + sB
+            f04 = 4.0 * ft[0]
+            m1 = 2.0 * D_ - S_ - f04
+            m2 = D_ - 2.0 * S_ + f04
+            m4 = pq - 2.0 * d1
+            m6 = ppq - 2.0 * d2
+            m7 = s1p - s2p
+            m8 = sA - sB
+            r3u2 = (3.0 * rho) * (ux * ux + uy * uy)
+            uf3 = 3.0 * uf
+            md1 = float(s_base[1]) * (m1 + 2.0 * rho - r3u2 + uf3)
+            md2 = float(s_base[2]) * (m2 - rho + r3u2 - uf3)
+            rux = rho * ux
+            ruy = rho * uy
+            md4 = float(s_base[4]) * (m4 + rux - 0.5 * fx)
+            md6 = float(s_base[6]) * (m6 + ruy - 0.5 * fy)
+            md7 = inv_tau * (m7 - (rux * ux - ruy * uy)
+                             + (ux * fx - uy * fy))
+            md8 = inv_tau * (m8 - rux * uy + 0.5 * (ux * fy + uy * fx))
+            A_ = (md1 + 2.0 * md2) * (-1.0 / 36.0)
+            B_ = (2.0 * md1 + md2) * (1.0 / 36.0)
+            t4 = md4 * (1.0 / 6.0)
+            t6 = md6 * (1.0 / 6.0)
+            t7 = md7 * 0.25
+            t8 = md8 * 0.25
+            up = 0.5 * (t4 + t6)
+            vp = 0.5 * (t4 - t6)
+            At7 = A_ + t7
+            Am7 = A_ - t7
+            Bp = B_ + t8
+            Bm = B_ - t8
+            post[0] = ft[0] + src[0] - (md2 - md1) * (1.0 / 9.0)
+            post[1] = ft[1] + src[1] - (At7 - t4)
+            post[3] = ft[3] + src[3] - (At7 + t4)
+            post[2] = ft[2] + src[2] - (Am7 - t6)
+            post[4] = ft[4] + src[4] - (Am7 + t6)
+            post[5] = ft[5] + src[5] - (Bp + up)
+            post[7] = ft[7] + src[7] - (Bp - up)
+            post[6] = ft[6] + src[6] - (Bm - vp)
+            post[8] = ft[8] + src[8] - (Bm + vp)
         else:
+            feq, src = _feq_src(rho, ux, uy, fx, fy)
             pref = 1.0 - 0.5 * inv_tau
             for i in range(9):
                 fti = ft[i]
@@ -1059,7 +1203,70 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
     need_rows = T > 1 or has_bcs or has_transport
 
+    # BC rows only ever appear in two 16-row bands of any window: the
+    # window start is always ≡ -H (mod R), so global rows {0,1,2} and
+    # {ny-2, ny-1} land at window rows r ∈ [H-2, H+3) ∪ [H+R-2, H+R+3).
+    # Applying the BC rewrites on 8-aligned slices around those bands and
+    # stitching through the VMEM scratch plane cuts the per-sub-step BC
+    # arithmetic from W rows to 32.
+    bc_sliced = R >= 16
+    _seg1 = (H - 8, H + 8)
+    _seg2 = (H + R - 8, H + R + 8)
+
+    def _cat_rows(full, s1, s2):
+        # compiled mode: scratch-ref roundtrip (one VMEM copy per plane
+        # instead of the ~4x-costlier full-window BC roll/select chain);
+        # interpret mode: value-level DUS
+        if _scr_cell:
+            scr = _scr_cell[0]
+            scr[...] = full
+            scr[_seg1[0]:_seg1[1], :] = s1
+            scr[_seg2[0]:_seg2[1], :] = s2
+            return scr[...]
+        out = jax.lax.dynamic_update_slice(full, s1, (_seg1[0], 0))
+        return jax.lax.dynamic_update_slice(out, s2, (_seg2[0], 0))
+
+    def _seg_rows(row0, lo, ws):
+        # fresh per-segment global-row iota (slicing the full-window
+        # broadcasted iota trips a Mosaic layout check)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ws, nx), 0)
+        return (row0 + lo + iota) % ny
+
+    def _bc_sliced_c(ft, rho_r, fl, row0):
+        news = []
+        for lo, hi in (_seg1, _seg2):
+            ws = hi - lo
+            fts = [f[lo:hi] for f in ft]
+            fts, rrs = _apply_bcs_window_c(fts, rho_r[lo:hi], fl[lo:hi],
+                                           _seg_rows(row0, lo, ws), ws)
+            news.append((fts, rrs))
+        ft = [_cat_rows(f, news[0][0][i], news[1][0][i])
+              for i, f in enumerate(ft)]
+        rho_r = _cat_rows(rho_r, news[0][1], news[1][1])
+        return ft, rho_r
+
+    def _bc_sliced_split(f_r, f_b, fl, row0):
+        news = []
+        for lo, hi in (_seg1, _seg2):
+            ws = hi - lo
+            frs = [f[lo:hi] for f in f_r]
+            fbs = [f[lo:hi] for f in f_b]
+            frs, fbs = _apply_bcs_window(frs, fbs, fl[lo:hi],
+                                         _seg_rows(row0, lo, ws), ws)
+            news.append((frs, fbs))
+        f_r = [_cat_rows(f, news[0][0][i], news[1][0][i])
+               for i, f in enumerate(f_r)]
+        f_b = [_cat_rows(f, news[0][1][i], news[1][1][i])
+               for i, f in enumerate(f_b)]
+        return f_r, f_b
+
+    use_scratch = (not interpret) and ((bc_sliced and has_bcs)
+                                       or wet_banded)
+
     def kernel(*refs):
+        if use_scratch:
+            _scr_cell[:] = [refs[-1]]
+            refs = refs[:-1]
         if is_local:
             # scalar-prefetched global row offset of local row 0, then the
             # wrapped center/halo refs plus the ppermuted edge slabs
@@ -1118,7 +1325,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             off = row0_ref[0] if is_local else 0
-            rows_g = (off + i0 * R - H + r_iota) % ny
+            row0_g = off + i0 * R - H
+            rows_g = (row0_g + r_iota) % ny
             if interpret and has_bcs:
                 # interpret-only edge predicate: XLA-CPU execution of the
                 # unconditional BC select chains is pathologically slow
@@ -1154,12 +1362,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             if compressed:
                 if has_bcs:
                     if interpret:
+                        _bc_c = (_bc_sliced_c if bc_sliced
+                                 else _apply_bcs_window_c)
+                        _rg_c = row0_g if bc_sliced else rows_g
                         ft, rho_r = jax.lax.cond(
                             is_edge,
-                            lambda t: _apply_bcs_window_c(t[0], t[1], fl,
-                                                          rows_g),
+                            lambda t: _bc_c(list(t[0]), t[1], fl, _rg_c),
                             lambda t: (list(t[0]), t[1]),
                             (tuple(ft), rho_r))
+                    elif bc_sliced:
+                        ft, rho_r = _bc_sliced_c(ft, rho_r, fl, row0_g)
                     else:
                         ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl,
                                                         rows_g)
@@ -1171,13 +1383,17 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             else:
                 if has_bcs:
                     if interpret:
+                        _bc_s = (_bc_sliced_split if bc_sliced
+                                 else _apply_bcs_window)
+                        _rg_s = row0_g if bc_sliced else rows_g
                         fr, fb = jax.lax.cond(
                             is_edge,
-                            lambda t: _apply_bcs_window(list(t[0]),
-                                                        list(t[1]), fl,
-                                                        rows_g),
+                            lambda t: _bc_s(list(t[0]), list(t[1]), fl,
+                                            _rg_s),
                             lambda t: (list(t[0]), list(t[1])),
                             (tuple(fr), tuple(fb)))
+                    elif bc_sliced:
+                        fr, fb = _bc_sliced_split(fr, fb, fl, row0_g)
                     else:
                         fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
                 if is_pert:
@@ -1262,6 +1478,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=120 * 1024 * 1024,
         dimension_semantics=("parallel",))
+    scratch_shapes = ([pltpu.VMEM((W, nx), dtype)] if use_scratch else [])
     if is_local:
         call = pl.pallas_call(
             kernel,
@@ -1269,7 +1486,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 num_scalar_prefetch=1,
                 grid=(nb,),
                 in_specs=in_specs,
-                out_specs=tuple(out_specs)),
+                out_specs=tuple(out_specs),
+                scratch_shapes=tuple(scratch_shapes)),
             out_shape=tuple(out_shape),
             compiler_params=compiler_params,
             interpret=interpret,
@@ -1287,6 +1505,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,
     )

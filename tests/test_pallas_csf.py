@@ -60,6 +60,48 @@ def test_fused_with_body_force_and_tau_type1():
     assert float(jnp.max(jnp.abs(b - d))) < 3e-5  # f32 drift: fused path uses rsqrt + reassociated algebra
 
 
+@pytest.mark.slow
+def test_fused_contact_line_matches_jnp_f64():
+    """Contact-line cells (interface meeting the side walls) exercise the
+    wetting-rotation distance tie-breaks; at f32 a 1-ulp input difference
+    flips them (seen on TPU at the walls, ~2e-3 locally), so algorithmic
+    equivalence must be proven at f64 where the selects agree."""
+    import jax
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("needs x64")
+    ny, nx = 48, 32
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.01,
+        tau_r=1.0, tau_b=0.8, tau_type=2, wetting_type=2,
+        contact_angle_deg=60.0, beta=0.7)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float64, use_pallas=False)
+    # layered interface spans the full width -> contact line at both walls
+    a, b = m.init_state_layers(1.0, 1.0, invading_rows=16)
+    fused = build_csf_fused_step(m.geo, m.p, jnp.float64,
+                                 rows_per_block=8, steps_per_call=1,
+                                 bc_config=bcs, interpret=True)
+    fused_c = build_csf_fused_step(m.geo, m.p, jnp.float64,
+                                   rows_per_block=8, steps_per_call=1,
+                                   bc_config=bcs, state_mode="compressed",
+                                   interpret=True)
+    c, d = a, b
+    s = m.pack_state(a, b)
+    for _ in range(6):
+        a, b = m._step_impl(a, b)
+        c, d = fused(c, d)
+        s = fused_c(s)
+    assert float(jnp.max(jnp.abs(a - c))) < 1e-12
+    assert float(jnp.max(jnp.abs(b - d))) < 1e-12
+    s_ref = m.pack_state(a, b)
+    assert float(jnp.max(jnp.abs(s - s_ref))) < 1e-12
+
+
 def test_pick_rows_per_block():
     assert pick_rows_per_block(1024, 1024) % 8 == 0
     assert 1024 % pick_rows_per_block(1024, 1024) == 0
@@ -422,3 +464,38 @@ def test_coupled_transport_d2q9_fused_matches_jnp(relaxation):
         fr, fb, g = fused(fr, fb, g)
     assert float(jnp.max(jnp.abs(a.f_r - fr))) < 3e-5
     assert float(jnp.max(jnp.abs(a.g - g))) < 3e-5
+
+
+def test_fused_wet_banded_matches_jnp():
+    """Lane-banded wetting (nx >= 512, consumers confined to the first/
+    last 128-lane block) must match the full-width path: the 256-lane
+    band's center seam carries the true periodic x-adjacency."""
+    ny, nx = 32, 512
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.01,
+        tau_r=1.0, tau_b=0.8, tau_type=2, wetting_type=2,
+        contact_angle_deg=60.0, beta=0.7)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params,
+                        CGBoundaryConfig(), dtype=jnp.float32,
+                        use_pallas=False)
+    fused = build_csf_fused_step(m.geo, m.p, jnp.float32,
+                                 rows_per_block=8, interpret=True)
+    fused_c = build_csf_fused_step(m.geo, m.p, jnp.float32,
+                                   rows_per_block=8,
+                                   state_mode="compressed",
+                                   interpret=True)
+    rng = np.random.RandomState(3)
+    a, b = m.init_state_droplet(1.0, 1.0, radius=10.0,
+                                center=(16.0, 24.0))
+    c, d = a, b
+    s = m.pack_state(a, b)
+    for _ in range(4):
+        a, b = m._step_impl(a, b)
+        c, d = fused(c, d)
+        s = fused_c(s)
+    assert float(jnp.max(jnp.abs(a - c))) < 3e-5
+    assert float(jnp.max(jnp.abs(b - d))) < 3e-5
+    assert float(jnp.max(jnp.abs(a.sum(0) - s[9]))) < 1e-4
+    assert float(jnp.max(jnp.abs((a + b).sum(0) - s[:9].sum(0)))) < 1e-4
