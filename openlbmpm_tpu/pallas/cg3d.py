@@ -215,18 +215,15 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     def _grad3d(a, w_ax, w_diag):
         """(gx, gy, gz) of the D3Q19 stencil Σ_i w_i e_i a(x+e_i) on the
         range shrunk by one slab per side, separably: edge taps are axis
-        shifts of orthogonal-axis row sums; z taps are slices."""
-        am = _zcut(a, 1)
-        pEm, pWm = shx(am, 1), shx(am, -1)
-        pNm, pSm = shy(am, 1), shy(am, -1)
-        pU = _zsh(a, 1, 1)
-        pD = _zsh(a, -1, 1)
-        pUD = pU + pD
-        qx = w_ax * am + w_diag * (pNm + pSm + pUD)
-        qy = w_ax * am + w_diag * (pEm + pWm + pUD)
-        # qz needs the full range (gz slices +-1 afterward)
+        shifts of orthogonal-axis row sums; z taps are slices.  The four
+        x/y neighbor rolls run once on the full range (qz needs them) and
+        feed qx/qy as z-slices — 8 rolls per field instead of 12."""
         pE, pW = shx(a, 1), shx(a, -1)
         pN, pS = shy(a, 1), shy(a, -1)
+        pUD = _zsh(a, 1, 1) + _zsh(a, -1, 1)
+        am = _zcut(a, 1)
+        qx = w_ax * am + w_diag * (_zcut(pN, 1) + _zcut(pS, 1) + pUD)
+        qy = w_ax * am + w_diag * (_zcut(pE, 1) + _zcut(pW, 1) + pUD)
         qz = w_ax * a + w_diag * (pE + pW + pN + pS)
         gx = shx(qx, 1) - shx(qx, -1)
         gy = shy(qy, 1) - shy(qy, -1)

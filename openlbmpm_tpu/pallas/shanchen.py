@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import Geometry
 from ..lattice import D2Q9
-from .csf import _rolly, _sh
+from .csf import _rollx, _rolly, _sh
 
 __all__ = ["build_sc_fused_step"]
 
@@ -67,8 +67,15 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     radius = {4: 1, 8: 2, 10: 3}[iso]
     H = _halo_rows(T, rings=(radius + 1) if is_efs else 2, radius=radius)
     if rows_per_block is None:
-        for r in (128, 64, 32, 16, 8):
-            if ny % r == 0 and r % H == 0:
+        # Largest R under the VMEM budget: the scoped live set grows with
+        # the unrolled K x T sub-step chain.  planes = 30 + 30*K*T is
+        # calibrated on the real chip (K=2/T=4: W=96 fits the 110 MB
+        # limit, W=160 does not).
+        planes = 30 + 30 * K * T * (2 if is_efs else 1)
+        budget = 110.0 * 2**20
+        for r in (256, 128, 64, 32, 16, 8):
+            if ny % r == 0 and r % H == 0 and \
+                    planes * (r + 2 * H) * nx * 4 <= budget:
                 rows_per_block = r
                 break
         else:
@@ -184,10 +191,12 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             feq[io] = a - b
         return feq, eu
 
-    def _apply_inlet_window(f, fl, rows_g):
+    def _apply_inlet_window(f, fl, rows_g, w=None):
         """f: list over K of lists over 9 planes.  BC row sits `radius`
         rows inside (iso-8/10 ghost depth, matching
-        ``ShanChenMCMP._apply_inlet``)."""
+        ``ShanChenMCMP._apply_inlet``).  `w` is the row count of the
+        (possibly sliced) operands."""
+        w = W if w is None else w
         flb = fl > 0.5
         bc_row = ny - 1 - radius
         if inlet_kind == "zou_he_velocity":
@@ -219,11 +228,12 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 m = jnp.logical_and(rows_g == g, flb)
                 for k in range(K):
                     for i in range(9):
-                        f[k][i] = jnp.where(m, _rolly(f[k][i], -1, W),
+                        f[k][i] = jnp.where(m, _rolly(f[k][i], -1, w),
                                             f[k][i])
         return f
 
-    def _apply_outlet_window(f, fl, rows_g):
+    def _apply_outlet_window(f, fl, rows_g, w=None):
+        w = W if w is None else w
         flb = fl > 0.5
         if outlet_kind == "zou_he_pressure":
             m = jnp.logical_and(rows_g == radius, flb)
@@ -241,16 +251,55 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 m = jnp.logical_and(rows_g == g, flb)
                 for k in range(K):
                     for i in range(9):
-                        f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W),
+                        f[k][i] = jnp.where(m, _rolly(f[k][i], 1, w),
                                             f[k][i])
         elif outlet_kind == "convective":
             for row in range(radius + 1, -1, -1):
                 m = jnp.logical_and(rows_g == row, flb)
                 for k in range(K):
                     for i in range(9):
-                        f[k][i] = jnp.where(m, _rolly(f[k][i], 1, W),
+                        f[k][i] = jnp.where(m, _rolly(f[k][i], 1, w),
                                             f[k][i])
         return f
+
+    if is_efs:
+        # isotropy weights depend only on (|dx|, |dy|): build the lookup
+        # once for the separable stencil evaluation below
+        _wmap = {}
+        for (dx_, dy_), w_ in zip(offsets, st_w):
+            _wmap[(abs(dx_), abs(dy_))] = float(w_)
+
+    def _iso_sums(a, wmap, r):
+        """(vx, vy) of the separable iso-stencil Σ_d w(|d|²) d a(x+d):
+        vx = Σ_{c=1..r} c·[P_c(x+c) − P_c(x−c)] with column profiles
+        P_c(y) = w(c,0) a + Σ_{d>0} w(c,d)(a(y+d)+a(y−d)), and vy the
+        transpose.  8r single-axis rolls per field instead of the ~(2.5x
+        more) per-offset double rolls of the direct form."""
+        ysum = {0: a}
+        xsum = {0: a}
+        for d in range(1, r + 1):
+            ysum[d] = _rolly(a, d, W) + _rolly(a, -d, W)
+            xsum[d] = _rollx(a, d, nx) + _rollx(a, -d, nx)
+        vx = None
+        vy = None
+        for c in range(1, r + 1):
+            prof_p = None
+            prof_q = None
+            for d in range(0, r + 1):
+                w = wmap.get((c, d), 0.0)
+                if not w:
+                    continue
+                tp = w * ysum[d]
+                tq = w * xsum[d]
+                prof_p = tp if prof_p is None else prof_p + tp
+                prof_q = tq if prof_q is None else prof_q + tq
+            if prof_p is None:
+                continue
+            tx = float(c) * (_rollx(prof_p, c, nx) - _rollx(prof_p, -c, nx))
+            ty = float(c) * (_rolly(prof_q, c, W) - _rolly(prof_q, -c, W))
+            vx = tx if vx is None else vx + tx
+            vy = ty if vy is None else vy + ty
+        return vx, vy
 
     def _substep_efs(f, fl, fvx, fvy, asx, asy, us):
         """EFS sub-step on the transformed PDF fbar = f - f^F/2
@@ -258,16 +307,11 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         rho = [sum(f[k]) for k in range(K)]
         rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
         psi = rho if not is_pr else [_psi(r) for r in rho]
-        # iso-stencil sums of psi (zero on solid)
-        vx = [jnp.zeros_like(rho[0]) for _ in range(K)]
-        vy = [jnp.zeros_like(rho[0]) for _ in range(K)]
-        for (dx, dy), w in zip(offsets, st_w):
-            for k in range(K):
-                s = sh(psi[k], dx, dy)
-                if dx:
-                    vx[k] = vx[k] + (w * dx) * s
-                if dy:
-                    vy[k] = vy[k] + (w * dy) * s
+        # separable iso-stencil sums of psi (zero on solid)
+        vx = [None] * K
+        vy = [None] * K
+        for k in range(K):
+            vx[k], vy[k] = _iso_sums(psi[k], _wmap, radius)
         fx = [None] * K
         fy = [None] * K
         for k in range(K):
@@ -366,19 +410,14 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         upx = numx / den
         upy = numy / den
 
-        # interaction force on the pseudopotential (zero on solid)
+        # interaction force on the pseudopotential (zero on solid),
+        # separable D2Q9 stencil: 8 single-axis rolls per fluid
         psi = rho if not is_pr else [_psi(r) for r in rho]
-        vx = [jnp.zeros_like(rho[0]) for _ in range(K)]
-        vy = [jnp.zeros_like(rho[0]) for _ in range(K)]
-        for i in range(1, 9):
-            dx, dy = int(_E[i, 0]), int(_E[i, 1])
-            wi = float(_W[i])
-            for k in range(K):
-                s = sh(psi[k], dx, dy)
-                if dx:
-                    vx[k] = vx[k] + (wi * dx) * s
-                if dy:
-                    vy[k] = vy[k] + (wi * dy) * s
+        vx = [None] * K
+        vy = [None] * K
+        for k in range(K):
+            vx[k], vy[k] = _iso_sums(
+                psi[k], {(1, 0): float(_W[1]), (1, 1): float(_W[5])}, 1)
         fx = [None] * K
         fy = [None] * K
         for k in range(K):
@@ -427,7 +466,43 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                       sh(post[i], -dx, -dy)) * fl
         return out
 
+    # BC rows live within 8 rows of the two window seams (inlet rows
+    # >= ny-1-radius, outlet rows <= radius+1, radius <= 3; window start
+    # is always ≡ -H mod R), so in compiled mode the rewrites run on two
+    # 16-row aligned bands stitched through a VMEM scratch plane — the
+    # same scheme as ``csf._bc_sliced_*`` — instead of full-window
+    # roll/select chains.  Interpret mode keeps the full-window path.
+    bc_sliced = (not interpret) and R >= 16
+    use_scratch = bc_sliced and has_bcs
+    _seg1 = (H - 8, H + 8)
+    _seg2 = (H + R - 8, H + R + 8)
+    _scr_cell = []
+
+    def _cat_rows(full, s1, s2):
+        scr = _scr_cell[0]
+        scr[...] = full
+        scr[_seg1[0]:_seg1[1], :] = s1
+        scr[_seg2[0]:_seg2[1], :] = s2
+        return scr[...]
+
+    def _seg_rows(row0, lo, ws):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ws, nx), 0)
+        return (row0 + lo + iota) % ny
+
+    def _bc_sliced_apply(apply_fn, f, fl, row0):
+        news = []
+        for lo, hi in (_seg1, _seg2):
+            ws = hi - lo
+            fs = [[p[lo:hi] for p in fk] for fk in f]
+            fs = apply_fn(fs, fl[lo:hi], _seg_rows(row0, lo, ws), ws)
+            news.append(fs)
+        return [[_cat_rows(f[k][i], news[0][k][i], news[1][k][i])
+                 for i in range(9)] for k in range(K)]
+
     def kernel(*refs):
+        if use_scratch:
+            _scr_cell[:] = [refs[-1]]
+            refs = refs[:-1]
         # refs: K fields x (c, u, d) + geo (c, u, d) + K outputs
         f_refs = refs[:3 * K]
         g_c, g_u, g_d = refs[3 * K:3 * K + 3]
@@ -439,10 +514,13 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             c, u, d = f_refs[3 * k:3 * k + 3]
             win = jnp.concatenate([u[:], c[:], d[:]], axis=1)
             f.append([win[i] for i in range(9)])
+        rows_g = row0_g = None
         if T > 1 or has_bcs:
             i0 = pl.program_id(0)
-            r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
-            rows_g = (i0 * R - H + r_iota) % ny
+            row0_g = i0 * R - H
+            if not bc_sliced:
+                r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
+                rows_g = (row0_g + r_iota) % ny
         # static upwind-solid masks, hoisted out of the fluid/time loops
         solid_w = 1.0 - fl
         us = [None] + [sh(solid_w, -int(_E[i, 0]), -int(_E[i, 1])) > 0.5
@@ -451,13 +529,20 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # inlet BC -> physics -> outlet BC per time step.
         for _ in range(T):
             if has_bcs:
-                f = _apply_inlet_window(f, fl, rows_g)
+                if bc_sliced:
+                    f = _bc_sliced_apply(_apply_inlet_window, f, fl, row0_g)
+                else:
+                    f = _apply_inlet_window(f, fl, rows_g)
             if is_efs:
                 f = _substep_efs(f, fl, geo[1], geo[2], geo[3], geo[4], us)
             else:
                 f = _substep(f, fl, geo[1], geo[2], us)
             if has_bcs:
-                f = _apply_outlet_window(f, fl, rows_g)
+                if bc_sliced:
+                    f = _bc_sliced_apply(_apply_outlet_window, f, fl,
+                                         row0_g)
+                else:
+                    f = _apply_outlet_window(f, fl, rows_g)
         for k in range(K):
             for i in range(9):
                 out_refs[k][i] = f[k][i][H:H + R]
@@ -481,9 +566,11 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         for _ in range(K)),
         out_shape=tuple(jax.ShapeDtypeStruct((9, ny, nx), dtype)
                         for _ in range(K)),
+        scratch_shapes=([pltpu.VMEM((W, nx), dtype)] if use_scratch
+                        else []),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )
 
