@@ -146,15 +146,16 @@ def bench_csf_transport(quick):
     conc0 = np.zeros((1, n, n))
     conc0[0, n - 120:, :] = 1.0
     st = m.init_state(fs, conc0)
-    blk = m.make_block_step(steps_per_call=2, rows_per_block=128)
+    blk = m.make_block_step(steps_per_call=2, rows_per_block=128,
+                            compressed=True)
     t_block = 2 if blk is not None else 1
     if blk is not None:
-        step = lambda a, b, c: blk(a, b, c)  # noqa: E731
-        state = (st.f_r, st.f_b, st.g)
+        step = lambda a, b: blk(a, b)  # noqa: E731
+        state = (m.flow.pack_state(st.f_r, st.f_b), st.g)
         mlups, state = _throughput(step, state,
                                    (100 if quick else 400) // t_block,
                                    n * n * t_block, unpack=True)
-        conc = np.asarray(jnp.sum(state[2], axis=1))
+        conc = np.asarray(jnp.sum(state[1], axis=1))
     else:
         mlups, (st,) = _throughput(lambda s: m._step_impl(s), (st,),
                                    100 if quick else 400, n * n,

@@ -193,7 +193,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # epilogue composed by TransportRK._build_fused — like the
         # reference, which runs a separate cuda.reduce before its repair
         # kernel (``Transport2DRK.py:498-500``).
-        if is_pert or tp.scheme not in (5, 9) or compressed:
+        if is_pert or tp.scheme not in (5, 9):
             return None
         if tp.scheme == 5:
             if tp.inlet not in ("none", "inamuro", "anti_bounce_back",
@@ -207,14 +207,17 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 return None
     tr_mode = tp.interface_mode if has_transport else None
     is_local = local_ny is not None
-    if is_local and not compressed:
-        return None  # sharded fused path is compressed-only
+    if is_local and (not compressed or has_transport):
+        return None  # sharded fused path is compressed-only, flow-only
     grid_ny = int(local_ny) if is_local else ny
     T = int(steps_per_call)
     H = _halo_rows(T, variant, tr_mode if has_transport else None)
     if rows_per_block is None:
+        planes = 90 if compressed else 150
+        if has_transport:
+            planes += 10 * tp.num_tracers * tp.scheme
         rows_per_block = pick_rows_per_block(
-            grid_ny, nx, T, variant=variant, planes=90 if compressed else 150)
+            grid_ny, nx, T, variant=variant, planes=planes)
     R = rows_per_block
     if not R or grid_ny % R or R % H:
         return None
@@ -1284,7 +1287,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             g_d = jnp.where(last, gdn_sl[:], g_d[:])
         elif compressed:
             s_c, s_u, s_d, g_c, g_u, g_d = refs[:6]
-            outs = refs[6:]
+            idx = 6
+            if has_transport:
+                tr_c, tr_u, tr_d = refs[idx:idx + 3]
+                idx += 3
+            outs = refs[idx:]
         else:
             fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
             idx = 9
@@ -1342,13 +1349,19 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
                 # TransportRK._step_impl
-                rho_r_ = sum(fr)
-                rho_b_ = sum(fb)
-                rho_ = rho_r_ + rho_b_
+                if compressed:
+                    rho_r_ = rho_r
+                    ft_ = ft
+                    rho_ = sum(ft)
+                    rho_b_ = rho_ - rho_r_
+                else:
+                    rho_r_ = sum(fr)
+                    rho_b_ = sum(fb)
+                    rho_ = rho_r_ + rho_b_
+                    ft_ = [fr[i] + fb[i] for i in range(9)]
                 _, rinv_, _, gx_, gy_, fx_, fy_, _, _ = \
                     _fields(rho_r_, rho_b_, rho_, fl, wet, ns_x, ns_y,
                             den_inv)
-                ft_ = [fr[i] + fb[i] for i in range(9)]
                 mx_ = ft_[1] - ft_[3] + ft_[5] - ft_[6] - ft_[7] + ft_[8]
                 my_ = ft_[2] - ft_[4] + ft_[5] + ft_[6] - ft_[7] - ft_[8]
                 ux_ = (mx_ + 0.5 * fx_) * rinv_
@@ -1406,6 +1419,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for i in range(9):
                 out_s[i] = ft[i][H:H + R]
             out_s[9] = rho_r[H:H + R]
+            if has_transport:
+                out_g = outs[1]
+                for t in range(NT):
+                    for i in range(NQ):
+                        out_g[t, i] = g[t][i][H:H + R]
             return
         out_r, out_b = outs[0], outs[1]
         for i in range(9):
@@ -1510,7 +1528,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         interpret=interpret,
     )
 
-    if compressed:
+    if compressed and has_transport:
+        def step(s, g):
+            outs = call(s, s, s, geo_dev, geo_dev, geo_dev, g, g, g)
+            return outs[0], outs[1]
+    elif compressed:
         def step(s):
             return call(s, s, s, geo_dev, geo_dev, geo_dev)[0]
     elif has_transport:

@@ -346,6 +346,50 @@ def test_coupled_transport_fused_matches_jnp(mode, t_block, rpb):
     assert float(jnp.max(jnp.abs(a.g - g))) < 3e-5  # f32 drift: fused path uses rsqrt + reassociated algebra
 
 
+@pytest.mark.parametrize("t_block,rpb", [(1, 8), (2, 16)])
+def test_coupled_transport_compressed_matches_jnp(t_block, rpb):
+    """Compressed coupled state (f_total, rho_r, g): the flow half runs
+    the 10-plane moment-space path while tracers advance alongside;
+    checked against the split jnp coupled step at f64 (the moment-space
+    collision's reassociated reductions flip f32 contact-line tie-breaks,
+    see test_fused_contact_line_matches_jnp_f64)."""
+    import jax
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("needs x64")
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    tp = TransportParams(num_tracers=2, scheme=5, tau=(1.0, 0.9),
+                         j0=(1 / 3, 1 / 3), interface_mode="permeable",
+                         beta_interface=(0.5, 0.2), inlet="inamuro",
+                         inlet_conc=(1.0, 0.5), outlet="freeflow")
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float64, use_pallas=False)
+    fused = m.make_block_step(steps_per_call=t_block, rows_per_block=rpb,
+                              compressed=True, interpret=True)
+    assert fused is not None
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((2, n, n))
+    conc0[:, 20:28, :] = 1.0
+    st = m.init_state(fs, conc0)
+    a = st
+    for _ in range(4):
+        a = m._step_impl(a)
+    s = m.flow.pack_state(st.f_r, st.f_b)
+    g = st.g
+    for _ in range(4 // t_block):
+        s, g = fused(s, g)
+    want = m.flow.pack_state(a.f_r, a.f_b)
+    assert float(jnp.max(jnp.abs(want - s))) < 1e-12
+    assert float(jnp.max(jnp.abs(a.g - g))) < 1e-12
+
+
 @pytest.mark.parametrize("mrt_eq", ["linear", "quadratic"])
 def test_coupled_transport_mrt_fused_matches_jnp(mrt_eq):
     """Anisotropic D2Q5 MRT tracer collision in-kernel
