@@ -45,9 +45,8 @@ def _throughput(step_fn, state, n_steps, sites, unpack=False):
 
 
 def bench_single_phase(quick):
-    """Config 1: single-component D2Q9 channel flow, 1024x512 (the
-    single-phase model is jnp/XLA-only: one fused XLA kernel per step is
-    already bandwidth-bound without a hand-written Pallas kernel)."""
+    """Config 1: single-component D2Q9 channel flow, 1024x512, fused
+    Pallas kernel (pallas/single.py) with temporal blocking."""
     import jax.numpy as jnp
 
     from openlbmpm_tpu import geometry as geo
@@ -58,11 +57,17 @@ def bench_single_phase(quick):
                         collision="MRT", body_force=(0.0, -1e-6),
                         dtype=jnp.float32)
     f = m.init_state()
-    mlups, f = _throughput(lambda s: m._step_impl(s), (f,),
-                           200 if quick else 600, nx * ny, unpack=True)
+    blk = m.make_block_step(steps_per_call=4)
+    t_block = 4 if blk is not None else 1
+    step = blk if blk is not None else m._step_impl
+    mlups, f = _throughput(lambda s: step(s), (f,),
+                           (200 if quick else 1200) // t_block,
+                           nx * ny * t_block, unpack=True)
     rho, (ux, uy) = m.macro(f[0])
     return {"config": "1 single-phase D2Q9 channel 1024x512 MRT",
-            "value": round(mlups, 1), "unit": "MLUPS", "path": "jnp/XLA",
+            "value": round(mlups, 1), "unit": "MLUPS",
+            "path": "fused" if blk is not None else "jnp/XLA",
+            "t_block": t_block,
             "max_u": round(float(jnp.max(jnp.abs(uy))), 6)}
 
 

@@ -5,7 +5,9 @@ attribute ms/step to: DMA floor (copy-only kernel with identical block
 specs), wetting machinery (periodic domain, no solid), MRT vs SRT
 collision, and BC rows.
 
-Usage: python benchmarks/bench_dissect.py [T] [R]
+Usage: python benchmarks/bench_dissect.py [T] [R] [variant-substring ...]
+(variant filter: only build() tags containing one of the substrings run;
+'copy' enables the copy-only floor measurement)
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ def _time_step(step, state, t_block, ny, nx, n_steps=400):
     return ny * nx * (n_calls * t_block) / dt / 1e6, dt / (n_calls * t_block)
 
 
-def main(t_block=4, rows=128):
+def main(t_block=4, rows=128, only=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -52,6 +54,8 @@ def main(t_block=4, rows=128):
     results = {}
 
     def build(tag, solid_walls, collision, bcs_on):
+        if only and not any(s in tag for s in only):
+            return
         solid = np.zeros((ny, nx), bool)
         if solid_walls:
             solid[:, 0] = solid[:, -1] = True
@@ -76,7 +80,7 @@ def main(t_block=4, rows=128):
                                                       invading_rows=100))
         mlups, ms = _time_step(blk, s, t_block, ny, nx)
         results[tag] = (mlups, ms * 1e3)
-        print(f"{tag}: {mlups:.0f} MLUPS  ({ms * 1e3:.3f} ms/step)")
+        print(f"{tag}: {mlups:.0f} MLUPS  ({ms * 1e3:.3f} ms/step)", flush=True)
 
     # copy-only kernel with identical block shapes: the DMA floor
     from openlbmpm_tpu.pallas.csf import _halo_rows
@@ -111,10 +115,12 @@ def main(t_block=4, rows=128):
     def copy_step(s):
         return copy_call(s, s, s, gstat, gstat, gstat)
 
-    s0 = jnp.zeros((10, ny, nx), jnp.float32)
-    mlups, ms = _time_step(copy_step, s0, 1, ny, nx)
-    print(f"copy-only (per call = 1 'step'): {ms * 1e3:.3f} ms/call "
-          f"-> {ms * 1e3 / t_block:.3f} ms/step at T={t_block}")
+    if not only or any(s in "copy" for s in only):
+        s0 = jnp.zeros((10, ny, nx), jnp.float32)
+        mlups, ms = _time_step(copy_step, s0, 1, ny, nx)
+        print(f"copy-only (per call = 1 'step'): {ms * 1e3:.3f} ms/call "
+              f"-> {ms * 1e3 / t_block:.3f} ms/step at T={t_block}",
+              flush=True)
 
     build("full (walls, MRT, BCs)", True, "MRT", True)
     build("walls MRT periodic-BC", True, "MRT", False)
@@ -124,7 +130,9 @@ def main(t_block=4, rows=128):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*(args or [4, 128]))
+    argv = sys.argv[1:]
+    nums = [int(a) for a in argv[:2] if a.isdigit()]
+    only = [a for a in argv[len(nums):]] or None
+    main(*(nums or [4, 128]), only=only)
 
 # appended variant: walls but periodic BCs (isolates wetting cost from BC rows)

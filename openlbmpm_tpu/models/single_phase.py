@@ -148,6 +148,17 @@ class SinglePhaseD2Q9:
         f = self._apply_bcs(f)
         return f
 
+    def make_block_step(self, steps_per_call: int = 4,
+                        rows_per_block: int | None = None,
+                        interpret: bool = False):
+        """Temporally-blocked fused step (see pallas/single.py)."""
+        from ..pallas.single import build_single_phase_fused_step
+        return build_single_phase_fused_step(
+            self.geo, self.tau, self.collision, self.body_force,
+            bc_config=self.bcs, dtype=self.dtype,
+            rows_per_block=rows_per_block, steps_per_call=steps_per_call,
+            interpret=interpret)
+
     def step(self, f):
         return self._step(f)
 

@@ -70,3 +70,36 @@ def test_zou_he_channel_flux():
     # steady state: flux is uniform along the channel
     flux = (np.asarray(uy * rho))[5:-5, 1:-1].sum(axis=1)
     assert np.ptp(flux) / np.abs(flux).max() < 0.02
+
+
+@pytest.mark.parametrize("collision,t_block,rpb,bckind", [
+    ("SRT", 1, 8, "zou_he"), ("TRT", 1, 8, "periodic"),
+    ("MRT", 2, 16, "zou_he"), ("SRT", 4, 16, "convective")])
+def test_single_phase_fused_matches_jnp(collision, t_block, rpb, bckind):
+    """The fused Pallas single-phase kernel (pallas/single.py) matches the
+    jnp step across collisions, body force, BCs, temporal blocking."""
+    ny, nx = 32, 24
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    if bckind == "zou_he":
+        bcs = BoundaryConfig(inlet="zou_he_velocity", outlet="zou_he_pressure",
+                             inlet_velocity=-1e-3, outlet_density=1.0)
+    elif bckind == "convective":
+        bcs = BoundaryConfig(inlet="zou_he_pressure", outlet="convective",
+                             inlet_density=1.02)
+    else:
+        bcs = BoundaryConfig()
+    model = SinglePhaseD2Q9(geo.from_solid_mask(solid), tau=0.8,
+                            collision=collision, body_force=(1e-6, -2e-6),
+                            boundaries=bcs, dtype=jnp.float64)
+    fused = model.make_block_step(steps_per_call=t_block,
+                                  rows_per_block=rpb, interpret=True)
+    assert fused is not None
+    f = model.init_state()
+    a = f
+    for _ in range(4):
+        a = model._step_impl(a)
+    b = f
+    for _ in range(4 // t_block):
+        b = fused(b)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-12
