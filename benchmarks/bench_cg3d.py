@@ -88,10 +88,13 @@ def run_bench(n=128, t_block=1, rows=8):
     n_calls = n_steps // t_block
     s = run(n_calls, s)
     jax.block_until_ready(s)
-    t0 = time.perf_counter()
-    s = run(n_calls, s)
-    jax.block_until_ready(s)
-    dt = time.perf_counter() - t0
+    # best-of-3 timed regions (tunnel stalls and chip variance, as bench.py)
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = run(n_calls, s)
+        jax.block_until_ready(s)
+        dt = min(dt, time.perf_counter() - t0)
     mlups = n ** 3 * n_steps / dt / 1e6
     finite = bool(jnp.isfinite(s).all())
     return {

@@ -94,8 +94,20 @@ def _zsh(a, dz: int, k: int):
 
 
 def geo_stack3(geometry: Geometry) -> np.ndarray:
-    """Static geometry channels: is_fluid, wet_fluid, nsx, nsy, nsz,
-    den_inv (reciprocal of the solid-phi extrapolation denominator)."""
+    """Static geometry channels, packed to 4 planes of HBM traffic:
+    [code, nsx, nsy, nsz].
+
+    ``code`` multiplexes three mutually exclusive per-cell facts into one
+    plane (the kernel is DMA-bound, so every halo-amplified geometry plane
+    costs ~2% of step time):
+
+    - plain fluid  -> 1.0
+    - wet fluid    -> 2.0
+    - solid        -> -den_inv, the negated reciprocal of the solid-phi
+      extrapolation denominator Σ_i w_i is_fluid(x+e_i); den_inv is either
+      0 (no fluid neighbor) or >= 1/(1-w0) = 1.5, and is only ever read on
+      solid cells, so the decode thresholds (0.5, 1.5) are exact in f32.
+    """
     lat = D3Q19
     wet_fluid, _ = wetting_masks_nd(geometry.is_solid, lat)
     ns = solid_normals_nd(geometry.is_solid, lat)
@@ -105,7 +117,8 @@ def geo_stack3(geometry: Geometry) -> np.ndarray:
         dx, dy, dz = (int(lat.e[i, 0]), int(lat.e[i, 1]), int(lat.e[i, 2]))
         den += float(lat.w[i]) * np.roll(fl, (-dz, -dy, -dx), axis=(0, 1, 2))
     den_inv = np.where(den > 0, 1.0 / np.where(den > 0, den, 1.0), 0.0)
-    return np.stack([fl, wet_fluid.astype(np.float64), *ns, den_inv])
+    code = np.where(fl > 0.5, 1.0 + wet_fluid.astype(np.float64), -den_inv)
+    return np.stack([code, *ns])
 
 
 def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
@@ -162,14 +175,16 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     n_state = 20 if compressed else 38
     if slabs_per_block is None:
         # empirical VMEM model (v5e 128 MB; stage-sliced intermediates
-        # keep Mosaic's scoped usage ~2x the window-plane estimate)
+        # keep Mosaic's scoped usage ~2x the window-plane estimate).
+        # Geometry costs 10 window planes of VMEM: 4 packed inputs plus
+        # the 6 decoded logical channels.
         for r in (32, 16, 8, 4, 2):
             if grid_nz % r:
                 continue
             h = _pick_h(r)
             if h is None:
                 continue
-            planes = (n_state + 6) * (r + 2 * h) + n_state * r
+            planes = (n_state + 10) * (r + 2 * h) + n_state * r
             mb = planes * ny * nx * 4 * 2.0 / 2**20
             if mb <= 110:
                 slabs_per_block = r
@@ -647,7 +662,17 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
         else:
             geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
-        solid = 1.0 - geo[0]
+        # decode the packed code plane (geo_stack3) back to the logical
+        # 6-channel view [fl, wet, nsx, nsy, nsz, den_inv]; these are
+        # cheap full-window selects, static across the T sub-steps
+        code = geo[0]
+        one = jnp.asarray(1.0, code.dtype)
+        zero = jnp.asarray(0.0, code.dtype)
+        flw = jnp.where(code > 0.5, one, zero)
+        wetw = jnp.where(code > 1.5, one, zero)
+        den_invw = jnp.maximum(-code, zero)
+        geo_d = [flw, wetw, geo[1], geo[2], geo[3], den_invw]
+        solid = 1.0 - flw
         if compressed:
             if is_local:
                 s = jnp.concatenate([s_u, s_c[:], s_d], axis=1)
@@ -676,7 +701,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             off = t * shrink  # current absolute window offset
             if compressed:
                 if bc_in_kernel:
-                    flf = _zcut(geo[0], off)
+                    flf = _zcut(flw, off)
                     zrf = _zcut(zrows_full, off)
                     if interpret:
                         ft, rho_r = jax.lax.cond(
@@ -692,7 +717,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 base = off + (shrink - 4)
 
                 def gcut_s(ch, k, _b=base):
-                    return _zcut(geo[ch], _b + k)
+                    return _zcut(geo_d[ch], _b + k)
 
                 def solid_sh_s(i, _b=base):
                     dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
@@ -702,7 +727,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 ft, rho_r = _substep_c(ft, rho_r, gcut_s, solid_sh_s)
             else:
                 if bc_in_kernel:
-                    flf = _zcut(geo[0], off)
+                    flf = _zcut(flw, off)
                     zrf = _zcut(zrows_full, off)
                     if interpret:
                         fr, fb = jax.lax.cond(
@@ -718,7 +743,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 base = off + (shrink - 4)
 
                 def gcut_s(ch, k, _b=base):
-                    return _zcut(geo[ch], _b + k)
+                    return _zcut(geo_d[ch], _b + k)
 
                 def solid_sh_s(i, _b=base):
                     dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])

@@ -239,6 +239,27 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     outlet_rho = float(getattr(bc_config, "outlet_density_r", 0.0)) + \
         float(getattr(bc_config, "outlet_density_b", 1.0))
 
+    # Deferred solid masking: interior sub-steps of a temporal block skip
+    # the 10 output mask-multiplies (the last sub-step still zeroes solid
+    # cells before write-back, so call outputs are bit-identical).  Safe
+    # because fluid cells never read solid values — streaming is
+    # upwind-solid guarded and phi is a fluid-guarded select — EXCEPT the
+    # BC ghost/convective row copies, which read the same-lane neighbor
+    # row.  The static predicate below checks that every fluid cell in a
+    # copy-destination row has a fluid source (true for channel walls and
+    # for the reference's buffer-layer pore geometries).
+    _fl_np = geometry.is_fluid
+    _copy_pairs = []
+    if inlet_kind in ("neumann", "dirichlet"):
+        _copy_pairs.append((ny - 1, ny - 2))
+    if outlet_kind == "convective":
+        _copy_pairs += [(2, 3), (1, 2), (0, 1)]
+    elif outlet_kind == "dirichlet":
+        _copy_pairs.append((0, 1))
+    _defer_ok = (compressed and not has_transport and T > 1
+                 and all(bool(np.all(_fl_np[src][_fl_np[dst]]))
+                         for dst, src in _copy_pairs))
+
     # geometry channel stack: is_fluid, wet_fluid, nsx, nsy.  (Precomputing
     # more statics — stencil denominators, upwind-solid masks — was measured
     # slower: the extra geo DMA outweighs the saved in-kernel rolls.)
@@ -545,7 +566,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv):
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         rinv = 1.0 / rho_safe
-        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
+        # guarded select, not a mask-multiply: with deferred solid masking
+        # (``_substep_c(final=False)``) solid cells may hold garbage, and
+        # NaN*0 would leak NaN into the phi stencils
+        phi = jnp.where(jnp.logical_and(fl > 0.5, rho != 0),
+                        (rho_r - rho_b) * rinv, 0.0)
 
         if has_wetting and wet_banded:
             shb = functools.partial(_sh, nx=256, w=W)
@@ -844,7 +869,13 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return out_r, out_b
 
     # -- compressed sub-step: (f_total list, rho_r) -> same -----------------
-    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y, den_inv, us):
+    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y, den_inv, us, final=True):
+        """``final=False`` (interior sub-steps of a temporal block) skips
+        the 10 solid-mask multiplies on the outputs: solid-cell values are
+        never read by fluid cells (streaming is upwind-solid guarded, phi
+        is a fluid-guarded select, BC ghost copies are covered by the
+        static ``_defer_ok`` predicate), so only the last sub-step of a
+        call must zero them before the write-back to HBM."""
         rho = sum(ft)
         rho_b = rho - rho_r
         rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv = \
@@ -857,16 +888,18 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
         # pull-stream the total PDF; accumulate the streamed red density
         out_t = [None] * 9
-        out_t[0] = post[0] * fl
+        out_t[0] = post[0] * fl if final else post[0]
         rho_r_new = fr_post[0]
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            out_t[i] = jnp.where(us[i], post[io],
-                                 sh(post[i], -dx, -dy)) * fl
+            pulled = jnp.where(us[i], post[io], sh(post[i], -dx, -dy))
+            out_t[i] = pulled * fl if final else pulled
             rho_r_new = rho_r_new + jnp.where(us[i], fr_post[io],
                                               sh(fr_post[i], -dx, -dy))
-        return out_t, rho_r_new * fl
+        if final:
+            rho_r_new = rho_r_new * fl
+        return out_t, rho_r_new
 
     # -- Perturbation-variant sub-step (Liu et al. 2014) --------------------
     if is_pert:
@@ -975,15 +1008,21 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return out_r, out_b
 
     # -- compressed Perturbation sub-step ------------------------------------
-    def _substep_pert_c(ft, rho_r, fl, us):
+    def _substep_pert_c(ft, rho_r, fl, us, final=True):
         """Per-color BGK collision is linear in the PDFs with a shared
         tau(phi), so the total-PDF update needs only (rho_r, rho_b):
-        feq_tot_i = rho_r c_r_i + rho_b c_b_i + rho quad_i."""
+        feq_tot_i = rho_r c_r_i + rho_b c_b_i + rho quad_i.
+
+        ``final=False`` defers the output solid masking (see
+        ``_substep_c``); phi and the color-difference field are guarded
+        selects so deferred solid garbage cannot leak through stencils."""
         rho = sum(ft)
         rho_b = rho - rho_r
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         rinv = 1.0 / rho_safe
-        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
+        flb = fl > 0.5
+        phi = jnp.where(jnp.logical_and(flb, rho != 0),
+                        (rho_r - rho_b) * rinv, 0.0)
         mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
         my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
         ux = mx * rinv
@@ -1016,7 +1055,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             for i in range(9):
                 post[i] = ft[i] - (ft[i] - feq_ts[i]) * inv_tau
-        diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
+        diff = jnp.where(flb, rho_r - rho_b, solid_phi)
         gx, gy = _grad2d(diff, float(grad_w[1]), float(grad_w[5]))
         g2 = gx * gx + gy * gy
         gnorm = jnp.sqrt(g2)
@@ -1042,16 +1081,18 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             feq_rho = rho_r * float(c_r[i]) + rho_b * float(c_b[i])
             fr_post[i] = frac_r * post[i] + seg_base * feq_rho * cos_t_
         out_t = [None] * 9
-        out_t[0] = post[0] * fl
+        out_t[0] = post[0] * fl if final else post[0]
         rho_r_new = fr_post[0]
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            out_t[i] = jnp.where(us[i], post[io],
-                                 sh(post[i], -dx, -dy)) * fl
+            pulled = jnp.where(us[i], post[io], sh(post[i], -dx, -dy))
+            out_t[i] = pulled * fl if final else pulled
             rho_r_new = rho_r_new + jnp.where(us[i], fr_post[io],
                                               sh(fr_post[i], -dx, -dy))
-        return out_t, rho_r_new * fl
+        if final:
+            rho_r_new = rho_r_new * fl
+        return out_t, rho_r_new
 
     # -- coupled D2Q5 transport sub-step ------------------------------------
     if has_transport:
@@ -1345,7 +1386,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 for k in (0, 1, 2, ny - 2, ny - 1):
                     hit = ((k - start) % ny) < W
                     is_edge = jnp.logical_or(is_edge, hit)
-        for _ in range(T):
+        for _t in range(T):
+            _final = (not _defer_ok) or _t == T - 1
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
                 # TransportRK._step_impl
@@ -1389,10 +1431,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl,
                                                         rows_g)
                 if is_pert:
-                    ft, rho_r = _substep_pert_c(ft, rho_r, fl, us)
+                    ft, rho_r = _substep_pert_c(ft, rho_r, fl, us,
+                                                final=_final)
                 else:
                     ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y,
-                                           den_inv, us)
+                                           den_inv, us, final=_final)
             else:
                 if has_bcs:
                     if interpret:

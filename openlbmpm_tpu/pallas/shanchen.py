@@ -103,6 +103,22 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     if T > 1 and has_bcs and bc_config is None:
         raise ValueError("steps_per_call > 1 requires bc_config")
 
+    # Deferred solid masking (see pallas/csf.py): interior sub-steps of a
+    # temporal block skip the K*9 output mask-multiplies; psi becomes a
+    # fluid-guarded select so solid garbage cannot enter the interaction
+    # stencils.  Valid when every fluid cell in a BC ghost/convective
+    # copy-destination row has a fluid same-lane source row.
+    _fl_np = geometry.is_fluid
+    _copy_pairs = []
+    if inlet_kind != "periodic":
+        _copy_pairs += [(g, g - 1) for g in range(ny - radius, ny)]
+    if outlet_kind == "zou_he_pressure":
+        _copy_pairs += [(g, g + 1) for g in range(radius - 1, -1, -1)]
+    elif outlet_kind == "convective":
+        _copy_pairs += [(g, g + 1) for g in range(radius + 1, -1, -1)]
+    _defer_ok = T > 1 and all(bool(np.all(_fl_np[src][_fl_np[dst]]))
+                              for dst, src in _copy_pairs)
+
     tau = tuple(float(t) for t in params.tau)
     g_mat = np.asarray(params.g_matrix, np.float64)
     g_sol = np.asarray(params.g_solid, np.float64)
@@ -301,12 +317,17 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             vy = ty if vy is None else vy + ty
         return vx, vy
 
-    def _substep_efs(f, fl, fvx, fvy, asx, asy, us):
+    def _substep_efs(f, fl, fvx, fvy, asx, asy, us, final=True):
         """EFS sub-step on the transformed PDF fbar = f - f^F/2
-        (``ShanChenMCMP._step_efs``)."""
+        (``ShanChenMCMP._step_efs``).  ``final=False`` defers the output
+        solid masking; psi is then a fluid-guarded select so the stencils
+        still see psi(solid) = 0."""
         rho = [sum(f[k]) for k in range(K)]
         rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
         psi = rho if not is_pr else [_psi(r) for r in rho]
+        if _defer_ok:
+            flb = fl > 0.5
+            psi = [jnp.where(flb, p, 0.0) for p in psi]
         # separable iso-stencil sums of psi (zero on solid)
         vx = [None] * K
         vy = [None] * K
@@ -379,15 +400,15 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                             continue
                         acc = acc - (dfk[b] if c == 1.0 else c * dfk[b])
                     post[i] = acc
-            out[k][0] = post[0] * fl
+            out[k][0] = post[0] * fl if final else post[0]
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])
                 io = int(_OPP[i])
-                out[k][i] = jnp.where(us[i], post[io],
-                                      sh(post[i], -dx, -dy)) * fl
+                pulled = jnp.where(us[i], post[io], sh(post[i], -dx, -dy))
+                out[k][i] = pulled * fl if final else pulled
         return out
 
-    def _substep(f, fl, adh_x, adh_y, us):
+    def _substep(f, fl, adh_x, adh_y, us, final=True):
         rho = [sum(f[k]) for k in range(K)]
         rho_safe = [jnp.where(r > 0, r, 1.0) for r in rho]
 
@@ -413,6 +434,9 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # interaction force on the pseudopotential (zero on solid),
         # separable D2Q9 stencil: 8 single-axis rolls per fluid
         psi = rho if not is_pr else [_psi(r) for r in rho]
+        if _defer_ok:
+            flb = fl > 0.5
+            psi = [jnp.where(flb, p, 0.0) for p in psi]
         vx = [None] * K
         vy = [None] * K
         for k in range(K):
@@ -458,12 +482,12 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             else:
                 for i in range(9):
                     post[i] = f[k][i] - (f[k][i] - feq[i]) * inv_t
-            out[k][0] = post[0] * fl
+            out[k][0] = post[0] * fl if final else post[0]
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])
                 io = int(_OPP[i])
-                out[k][i] = jnp.where(us[i], post[io],
-                                      sh(post[i], -dx, -dy)) * fl
+                pulled = jnp.where(us[i], post[io], sh(post[i], -dx, -dy))
+                out[k][i] = pulled * fl if final else pulled
         return out
 
     # BC rows live within 8 rows of the two window seams (inlet rows
@@ -527,16 +551,18 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                        for i in range(1, 9)]
         # Op order matches the jnp path (``_step_sc``/``_step_efs``):
         # inlet BC -> physics -> outlet BC per time step.
-        for _ in range(T):
+        for _t in range(T):
+            _final = (not _defer_ok) or _t == T - 1
             if has_bcs:
                 if bc_sliced:
                     f = _bc_sliced_apply(_apply_inlet_window, f, fl, row0_g)
                 else:
                     f = _apply_inlet_window(f, fl, rows_g)
             if is_efs:
-                f = _substep_efs(f, fl, geo[1], geo[2], geo[3], geo[4], us)
+                f = _substep_efs(f, fl, geo[1], geo[2], geo[3], geo[4], us,
+                                 final=_final)
             else:
-                f = _substep(f, fl, geo[1], geo[2], us)
+                f = _substep(f, fl, geo[1], geo[2], us, final=_final)
             if has_bcs:
                 if bc_sliced:
                     f = _bc_sliced_apply(_apply_outlet_window, f, fl,

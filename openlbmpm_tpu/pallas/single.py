@@ -106,6 +106,20 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
     fluid = geometry.is_fluid.astype(np.float64)
     geo_dev = jnp.asarray(fluid[None], dtype)
 
+    # deferred solid masking (see _substep): valid when every fluid cell
+    # in a BC ghost/convective copy-destination row has a fluid same-lane
+    # source row
+    _fl_np = geometry.is_fluid
+    _copy_pairs = []
+    if inlet_kind != "periodic":
+        _copy_pairs.append((ny - 1, ny - 2))
+    if outlet_kind == "convective":
+        _copy_pairs += [(2, 3), (1, 2), (0, 1)]
+    elif outlet_kind == "zou_he_pressure":
+        _copy_pairs.append((0, 1))
+    _defer_ok = T > 1 and all(bool(np.all(_fl_np[src][_fl_np[dst]]))
+                              for dst, src in _copy_pairs)
+
     sh = functools.partial(_sh, nx=nx, w=W)
 
     _PAIRS9 = ((1, 3), (2, 4), (5, 7), (6, 8))
@@ -125,7 +139,13 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
             feq[io] = a - b
         return feq, eu
 
-    def _substep(f, fl, us):
+    def _substep(f, fl, us, final=True):
+        """``final=False`` (interior sub-steps of a temporal block) skips
+        the 9 solid-mask multiplies: fluid cells never read solid values
+        (streaming is upwind-solid guarded; the BC ghost/convective row
+        copies are covered by the static ``_defer_ok`` predicate), so only
+        the last sub-step must zero solid cells before the HBM
+        write-back."""
         rho = sum(f)
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         rinv = 1.0 / rho_safe
@@ -207,12 +227,12 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
                         continue
                     post[i] = post[i] - (ma if c == 1.0 else c * ma)
 
-        out = [post[0] * fl]
+        out = [post[0] * fl if final else post[0]]
         for i in range(1, 9):
             dx, dy = int(_E[i, 0]), int(_E[i, 1])
             io = int(_OPP[i])
-            out.append(jnp.where(us[i], post[io],
-                                 sh(post[i], -dx, -dy)) * fl)
+            pulled = jnp.where(us[i], post[io], sh(post[i], -dx, -dy))
+            out.append(pulled * fl if final else pulled)
         return out
 
     def _apply_bcs_window(f, fl, rows_g, w=None):
@@ -308,8 +328,9 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
         solid_w = 1.0 - fl
         us = [None] + [sh(solid_w, -int(_E[i, 0]), -int(_E[i, 1])) > 0.5
                        for i in range(1, 9)]
-        for _ in range(T):
-            f = _substep(f, fl, us)
+        for _t in range(T):
+            f = _substep(f, fl, us,
+                         final=(not _defer_ok) or _t == T - 1)
             if has_bcs:
                 if bc_sliced:
                     f = _bc_sliced_apply(f, fl, row0_g)
