@@ -1587,6 +1587,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             return call(f_r, f_r, f_r, f_b, f_b, f_b,
                         geo_dev, geo_dev, geo_dev)
 
+    step.defer_mask = _defer_ok
     return step
 
 

@@ -608,4 +608,5 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         outs = call(*parts, geo_dev, geo_dev, geo_dev)
         return jnp.stack(outs)
 
+    step.defer_mask = _defer_ok
     return step

@@ -367,4 +367,5 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
         """f: (9, ny, nx) -> (9, ny, nx)."""
         return call(f, f, f, geo_dev, geo_dev, geo_dev)
 
+    step.defer_mask = _defer_ok
     return step

@@ -543,3 +543,39 @@ def test_fused_wet_banded_matches_jnp():
     assert float(jnp.max(jnp.abs(b - d))) < 3e-5
     assert float(jnp.max(jnp.abs(a.sum(0) - s[9]))) < 1e-4
     assert float(jnp.max(jnp.abs((a + b).sum(0) - s[:9].sum(0)))) < 1e-4
+
+
+def test_defer_mask_predicate():
+    """Deferred solid masking engages for channel geometries (walls along
+    the BC rows' lanes are solid at both dest and source) and disengages
+    when a BC ghost-row fluid cell would copy from a solid source."""
+    n = 32
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    m = _model(True, "MRT")
+    step = build_csf_fused_step(m.geo, m.p, jnp.float32, rows_per_block=8,
+                                steps_per_call=2, bc_config=bcs,
+                                state_mode="compressed", interpret=True)
+    assert step.defer_mask
+
+    # fluid ghost cell (row n-1) above a solid source cell (row n-2)
+    solid_bad = solid.copy()
+    solid_bad[n - 2, 5] = True
+    m2 = ColorGradientRK(geo.from_solid_mask(solid_bad), m.p,
+                         CGBoundaryConfig(), dtype=jnp.float32,
+                         use_pallas=False)
+    step2 = build_csf_fused_step(m2.geo, m2.p, jnp.float32,
+                                 rows_per_block=8, steps_per_call=2,
+                                 bc_config=bcs, state_mode="compressed",
+                                 interpret=True)
+    assert not step2.defer_mask
+
+    # T=1 never defers (outputs go straight to HBM)
+    step3 = build_csf_fused_step(m.geo, m.p, jnp.float32, rows_per_block=8,
+                                 steps_per_call=1, bc_config=bcs,
+                                 state_mode="compressed", interpret=True)
+    assert not step3.defer_mask
