@@ -59,20 +59,28 @@ def test_sc_fused_channel_bcs(inlet, outlet):
     assert float(jnp.max(jnp.abs(a - c))) < 5e-6
 
 
-def test_sc_fused_pr_psi_matches_jnp():
+@pytest.mark.parametrize("t_block", [1, 2])
+def test_sc_fused_pr_psi_matches_jnp(t_block):
     """psi = Peng-Robinson EOS computed in-kernel (single-component
-    liquid-vapor; ``calFluidPotentialGPUPR``, OptimizedD2Q9GPU.py:112-127)."""
+    liquid-vapor; ``calFluidPotentialGPUPR``, OptimizedD2Q9GPU.py:112-127).
+    t_block=2 also exercises the deferred-masking psi select on the PR
+    branch (walled geometry)."""
     n = 32
+    solid = np.zeros((n, n), bool)
+    if t_block > 1:
+        solid[:, 0] = solid[:, -1] = True
     p = ShanChenParams(g_matrix=((-1.0,),), g_solid=(0.0,), tau=(1.0,),
                        psi="PR")
-    m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p,
                      dtype=jnp.float32, use_pallas=False)
     fused = build_sc_fused_step(m.geo, p, jnp.float32, rows_per_block=8,
+                                steps_per_call=t_block,
                                 bc_config=m.bcs, interpret=True)
     a = m.init_state_droplet((0.2,), (0.05,), radius=8.0)
     c = a
     for _ in range(4):
         a = m._step_sc(a)
+    for _ in range(4 // t_block):
         c = fused(c)
     assert bool(jnp.isfinite(a).all())
     assert float(jnp.max(jnp.abs(a - c))) < 5e-6
