@@ -76,15 +76,12 @@ def _run_colorgradient(args):
 
     # temporally-blocked fused kernel: N steps per device call
     step_fn = model.step
-    step_scale = 1
-    if args.block > 1 and not args.no_pallas:
-        blk = model.make_block_step(steps_per_call=args.block)
-        if blk is not None:
-            step_fn = lambda s: blk(*s)  # noqa: E731
-            step_scale = args.block
-        else:
-            print("note: --block unsupported for this config; "
-                  "running unblocked")
+    blk, step_scale = _pick_block(model, args, run.io_interval)
+    if blk is not None:
+        step_fn = lambda s: blk(*s)  # noqa: E731
+    elif args.block > 1:
+        print("note: --block unsupported for this config; "
+              "running unblocked")
 
     writer = ResultWriter(args.output, basename="SimulationResultsRK")
     # callback steps arrive pre-scaled by step_scale, so active_sites stays
@@ -136,6 +133,25 @@ def _run_colorgradient(args):
     return 0
 
 
+def _pick_block(model, args, io_interval):
+    """Resolve --block into (blocked_step | None, step_scale).
+
+    Explicit ``--block N`` requests exactly N; the default (0 = auto)
+    tries the largest supported T in (4, 2) that divides the I/O cadence
+    so callbacks land on true step boundaries.  Off-TPU (or with
+    --no-pallas) ``make_block_step`` returns None and runs stay
+    unblocked."""
+    if args.no_pallas or args.block == 1:
+        return None, 1
+    cands = ([args.block] if args.block > 1
+             else [t for t in (4, 2) if io_interval % t == 0])
+    for t in cands:
+        blk = model.make_block_step(steps_per_call=t)
+        if blk is not None:
+            return blk, t
+    return None, 1
+
+
 def _run_shanchen(args):
     import jax.numpy as jnp
 
@@ -172,7 +188,16 @@ def _run_shanchen(args):
                            geometry.num_fluid_nodes, echo=True)
     ckpt_every = max(1, 10 * run.io_interval)
 
+    step_fn = model.step
+    blk, step_scale = _pick_block(model, args, run.io_interval)
+    if blk is not None:
+        step_fn = blk
+    elif args.block > 1:
+        print("note: --block unsupported for this config; "
+              "running unblocked")
+
     def callback(step, f):
+        step = step * step_scale
         rho_k, (ux, uy) = model.macro(f)
         writer.write_sc(start_step + step, np.asarray(rho_k),
                         np.asarray(ux), np.asarray(uy))
@@ -183,9 +208,10 @@ def _run_shanchen(args):
             save_checkpoint(ckpt_path, f, start_step + step, fingerprint)
         return False
 
-    run_chunked(model.step, state, num_steps=run.num_steps,
-                io_interval=run.io_interval, callback=callback,
-                nan_guard=True)
+    run_chunked(step_fn, state,
+                num_steps=max(1, run.num_steps // step_scale),
+                io_interval=max(1, run.io_interval // step_scale),
+                callback=callback, nan_guard=True)
     logger.close()
     return 0
 
@@ -313,9 +339,11 @@ def main(argv=None) -> int:
                         help="write PNG snapshots at the I/O cadence")
         sp.add_argument("--no-pallas", action="store_true",
                         help="force the jnp path (CPU / debugging)")
-        sp.add_argument("--block", type=int, default=1,
+        sp.add_argument("--block", type=int, default=0,
                         help="time steps per fused kernel launch "
-                             "(temporal blocking; cg/sc on TPU)")
+                             "(temporal blocking; cg/sc on TPU). "
+                             "0 = auto: largest supported of 4/2 that "
+                             "divides the I/O interval; 1 = unblocked")
         sp.add_argument("--resume", action="store_true",
                         help="resume from <output>/checkpoint.npz")
         sp.add_argument("--stop-at-breakthrough", action="store_true")
