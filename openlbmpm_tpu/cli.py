@@ -143,6 +143,13 @@ def _pick_block(model, args, io_interval):
     unblocked."""
     if args.no_pallas or args.block == 1:
         return None, 1
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None, 1
+    if platform not in ("tpu", "axon"):
+        return None, 1
     cands = ([args.block] if args.block > 1
              else [t for t in (4, 2) if io_interval % t == 0])
     for t in cands:
@@ -282,8 +289,24 @@ def _run_colorgradient3d(args):
     logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
                            geometry.num_fluid_nodes, echo=True)
 
+    # compressed fused step on TPU: 20-plane state instead of 38
+    step_fn = model.step
+    macro_fn = model.macro
+    if not args.no_pallas:
+        import jax
+        try:
+            platform = jax.devices()[0].platform
+        except Exception:
+            platform = "cpu"
+        if platform in ("tpu", "axon"):
+            cstep = model.make_compressed_step()
+            if cstep is not None:
+                state = model.pack_state(*state)
+                step_fn = cstep
+                macro_fn = model.macro_compressed
+
     def callback(step, s):
-        rho_r, rho_b, phi, u = model.macro(s)
+        rho_r, rho_b, phi, u = macro_fn(s)
         writer.write(step, {
             f"FluidMacro/FluidDensityRin{step}": np.asarray(rho_r),
             f"FluidMacro/FluidDensityBin{step}": np.asarray(rho_b),
@@ -298,7 +321,7 @@ def _run_colorgradient3d(args):
         logger.log(step, **d)
         return False
 
-    run_chunked(model.step, state, num_steps=run.num_steps,
+    run_chunked(step_fn, state, num_steps=run.num_steps,
                 io_interval=run.io_interval, callback=callback)
     logger.close()
     return 0

@@ -461,8 +461,9 @@ class ColorGradientRK3D:
                                 jnp.sum(f_r, axis=0)[None]], axis=0)
 
     def color_force_fields(self, f_r, f_b):
-        rho_r = _density3(f_r)
-        rho_b = _density3(f_b)
+        return self._fields_from_densities(_density3(f_r), _density3(f_b))
+
+    def _fields_from_densities(self, rho_r, rho_b):
         phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
         phi_ext = cg.solid_phi_extrapolate(phi, self.is_fluid, self.lat) \
             if self.has_wetting else phi
@@ -514,6 +515,34 @@ class ColorGradientRK3D:
         mom = mac.momentum(self.lat, f_r + f_b)
         u = tuple((mom[d] + 0.5 * force[d]) / rho_safe for d in range(3))
         return rho_r, rho_b, phi, u
+
+    def macro_compressed(self, s):
+        """``macro`` on the compressed (20, nz, ny, nx) state: identical
+        fields, since the split macro touches (f_r, f_b) only through
+        (f_total, rho_r)."""
+        q = self.lat.q
+        f_tot = s[:q]
+        rho_r = s[q]
+        rho_b = _density3(f_tot) - rho_r
+        rho_r2, rho_b2, phi, g, force = \
+            self._fields_from_densities(rho_r, rho_b)
+        rho = rho_r + rho_b
+        rho_safe = jnp.where(rho > 0, rho, 1.0)
+        mom = mac.momentum(self.lat, f_tot)
+        u = tuple((mom[d] + 0.5 * force[d]) / rho_safe for d in range(3))
+        return rho_r, rho_b, phi, u
+
+    def make_compressed_step(self, slabs_per_block: int | None = None,
+                             interpret: bool = False):
+        """Fused compressed step ``s -> s'`` on the 20-plane packed state
+        (see ``pack_state``): 40 HBM plane-traffics per step instead of
+        the split path's 76.  Returns None when the domain does not
+        slab-decompose."""
+        from ..pallas.cg3d import build_cg3d_fused_step
+        return build_cg3d_fused_step(
+            self.geo, self.p, self.dtype, slabs_per_block,
+            steps_per_call=1, bc_config=self.bcs,
+            state_mode="compressed", interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -172,3 +172,32 @@ def test_coupled_3d_flow_transport():
     assert leak < 1e-10, leak
     assert abs(conc.sum() - total0) / total0 < 1e-12
     assert abs(float(jnp.sum(state[0])) - m_r0) / m_r0 < 1e-12
+
+
+def test_cg3d_macro_compressed_matches_split():
+    """macro_compressed on the packed (f_total, rho_r) state returns the
+    same fields as macro on (f_r, f_b) — the compressed CLI path's
+    diagnostics are exact."""
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0,
+                                   body_force=(0.0, 0.0, -1e-5))
+    m = ColorGradientRK3D(geo.from_solid_mask(solid), params,
+                          dtype=jnp.float64, use_pallas=False)
+    state = m.init_state_layers(1.0, 1.0, invading_slabs=6)
+    for _ in range(3):
+        state = m.step(state)
+    rho_r, rho_b, phi, u = m.macro(state)
+    s = m.pack_state(*state)
+    rho_r2, rho_b2, phi2, u2 = m.macro_compressed(s)
+    np.testing.assert_allclose(np.asarray(rho_r), np.asarray(rho_r2),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(rho_b), np.asarray(rho_b2),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi2),
+                               rtol=0, atol=1e-14)
+    for d in range(3):
+        np.testing.assert_allclose(np.asarray(u[d]), np.asarray(u2[d]),
+                                   rtol=0, atol=1e-14)
