@@ -133,14 +133,14 @@ def _run_colorgradient(args):
     return 0
 
 
-def _pick_block(model, args, io_interval):
+def _pick_block(model, args, io_interval, **kw):
     """Resolve --block into (blocked_step | None, step_scale).
 
     Explicit ``--block N`` requests exactly N; the default (0 = auto)
     tries the largest supported T in (4, 2) that divides the I/O cadence
     so callbacks land on true step boundaries.  Off-TPU (or with
-    --no-pallas) ``make_block_step`` returns None and runs stay
-    unblocked."""
+    --no-pallas) runs stay unblocked.  Extra keywords forward to
+    ``make_block_step`` (e.g. compressed=True)."""
     if args.no_pallas or args.block == 1:
         return None, 1
     import jax
@@ -153,7 +153,7 @@ def _pick_block(model, args, io_interval):
     cands = ([args.block] if args.block > 1
              else [t for t in (4, 2) if io_interval % t == 0])
     for t in cands:
-        blk = model.make_block_step(steps_per_call=t)
+        blk = model.make_block_step(steps_per_call=t, **kw)
         if blk is not None:
             return blk, t
     return None, 1
@@ -249,16 +249,33 @@ def _run_transport(args):
     logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
                            geometry.num_fluid_nodes, echo=True)
 
+    # compressed coupled fused kernel on TPU: (s, g) -> (s', g')
+    step_fn = model.step
+    step_scale = 1
+    get_g = lambda st: st.g  # noqa: E731
+    blk, t = _pick_block(model, args, run.io_interval, compressed=True)
+    if blk is not None and not getattr(blk, "needs_mass0", False):
+        state = (model.flow.pack_state(state.f_r, state.f_b), state.g)
+        step_fn = lambda st: blk(*st)  # noqa: E731
+        step_scale = t
+        get_g = lambda st: st[1]  # noqa: E731
+    elif args.block > 1:
+        print("note: --block unsupported for this config; "
+              "running unblocked")
+
     def callback(step, s):
-        conc = model.concentration(s.g)
+        step = step * step_scale
+        conc = model.concentration(get_g(s))
         writer.write_transport(step, np.asarray(conc))
         masses = {f"tracer{i}_mass": float(np.asarray(conc[i]).sum())
                   for i in range(conc.shape[0])}
         logger.log(step, **masses)
         return False
 
-    run_chunked(model.step, state, num_steps=run.num_steps,
-                io_interval=run.io_interval, callback=callback)
+    run_chunked(step_fn, state,
+                num_steps=max(1, run.num_steps // step_scale),
+                io_interval=max(1, run.io_interval // step_scale),
+                callback=callback)
     logger.close()
     return 0
 
