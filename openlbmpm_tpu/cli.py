@@ -322,7 +322,19 @@ def _run_colorgradient3d(args):
                 step_fn = cstep
                 macro_fn = model.macro_compressed
 
+    # checkpoint/resume on the run's state layout (split or packed)
+    from .checkpoint import (config_fingerprint, load_checkpoint,
+                             save_checkpoint)
+    fingerprint = config_fingerprint(params)
+    start_step = 0
+    ckpt_path = os.path.join(args.output, "checkpoint.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_step = load_checkpoint(ckpt_path, state, fingerprint)
+        print(f"resumed from step {start_step}")
+    ckpt_every = max(1, 10 * run.io_interval)
+
     def callback(step, s):
+        step = start_step + step
         rho_r, rho_b, phi, u = macro_fn(s)
         writer.write(step, {
             f"FluidMacro/FluidDensityRin{step}": np.asarray(rho_r),
@@ -336,6 +348,9 @@ def _run_colorgradient3d(args):
                              geometry.is_fluid.reshape(
                                  geometry.is_fluid.shape[0], -1))
         logger.log(step, **d)
+        if (step - start_step) % ckpt_every == 0 or \
+                step - start_step >= run.num_steps:
+            save_checkpoint(ckpt_path, s, step, fingerprint)
         return False
 
     run_chunked(step_fn, state, num_steps=run.num_steps,

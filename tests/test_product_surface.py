@@ -222,3 +222,30 @@ def test_di_cycle_swap_sc():
     assert float(jnp.sum(out[1, :, 6:, :])) == 9 * 2 * 4  # fluid 1 took it
     np.testing.assert_array_equal(np.asarray(out[:, :, :6]),
                                   np.asarray(f[:, :, :6]))
+
+
+def test_cli_run_cg3d_with_resume(tmp_path):
+    """End-to-end 3D CLI: tiny D3Q19 CSF run writes results, metrics,
+    checkpoint; --resume restarts from it."""
+    cfg = str(tmp_path / "small3d.ini")
+    with open(os.path.join(CONFIGS, "rk_csf3d.ini")) as fh:
+        txt = fh.read()
+    txt = txt.replace("xDomain = 32", "xDomain = 12")
+    txt = txt.replace("yDomain = 32", "yDomain = 12")
+    txt = txt.replace("zDomain = 96", "zDomain = 24")
+    txt = txt.replace("TimeSteps = 1000", "TimeSteps = 10")
+    txt = txt.replace("TimeInterval = 500", "TimeInterval = 5")
+    with open(cfg, "w") as fh:
+        fh.write(txt)
+    out = str(tmp_path / "out3d")
+    rc = cli_main(["run", cfg, "--model", "cg3d", "--output", out,
+                   "--no-pallas"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "checkpoint.npz"))
+    recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(r["step"] >= 10 for r in recs)
+    rc2 = cli_main(["run", cfg, "--model", "cg3d", "--output", out,
+                    "--no-pallas", "--resume", "--steps", "5"])
+    assert rc2 == 0
+    recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(r["step"] >= 15 for r in recs)
