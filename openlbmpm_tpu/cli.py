@@ -359,17 +359,96 @@ def _run_colorgradient3d(args):
     return 0
 
 
+def _run_basic(args):
+    """Single-phase D2Q9 channel run (the reference's BasicD2Q9 /
+    basicsetup.ini surface, ``SimpleD2Q9.py:221-331``)."""
+    import jax.numpy as jnp
+
+    from . import geometry as geo
+    from .checkpoint import (config_fingerprint, load_checkpoint,
+                             save_checkpoint)
+    from .config import load_basic
+    from .io import ResultWriter, save_png_field
+    from .metrics import MetricsLogger
+    from .models.base import run_chunked
+    from .models.single_phase import SinglePhaseD2Q9
+
+    solver_kw, u0, (xext, yext), dom, run = load_basic(args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    solid = np.ones((dom.ny, dom.nx), bool)
+    solid[yext[0]:yext[1] + 1, xext[0]:xext[1] + 1] = False
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = SinglePhaseD2Q9(geo.from_solid_mask(solid), dtype=dtype,
+                            **solver_kw)
+    state = model.init_state(1.0, u0)
+    fingerprint = config_fingerprint(solver_kw)
+    start_step = 0
+    ckpt_path = os.path.join(args.output, "checkpoint.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_step = load_checkpoint(ckpt_path, state, fingerprint)
+        print(f"resumed from step {start_step}")
+
+    step_fn = model.step
+    blk, step_scale = _pick_block(model, args, run.io_interval)
+    if blk is not None:
+        step_fn = blk
+    elif args.block > 1:
+        print("note: --block unsupported for this config; "
+              "running unblocked")
+
+    writer = ResultWriter(args.output, basename="SimulationResults")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           model.geo.num_fluid_nodes, echo=True)
+    ckpt_every = max(1, 10 * run.io_interval)
+
+    def callback(step, f):
+        step = step * step_scale
+        rho, (ux, uy) = model.macro(f)
+        writer.write(start_step + step, {
+            f"FluidMacro/FluidDensityin{start_step + step}":
+                np.asarray(rho),
+            f"FluidVelocity/FluidVelocityXin{start_step + step}":
+                np.asarray(ux),
+            f"FluidVelocity/FluidVelocityYin{start_step + step}":
+                np.asarray(uy),
+        })
+        if args.png:
+            save_png_field(
+                os.path.join(args.output,
+                             f"u_{start_step + step:08d}.png"),
+                np.asarray(jnp.sqrt(ux * ux + uy * uy)),
+                title=f"|u| @ {start_step + step}")
+        logger.log(start_step + step,
+                   mass=float(jnp.sum(rho)),
+                   umax=float(jnp.max(jnp.sqrt(ux * ux + uy * uy))))
+        if step % ckpt_every == 0 or step >= run.num_steps:
+            save_checkpoint(ckpt_path, f, start_step + step, fingerprint)
+        return False
+
+    run_chunked(step_fn, state,
+                num_steps=max(1, run.num_steps // step_scale),
+                io_interval=max(1, run.io_interval // step_scale),
+                callback=callback, nan_guard=True)
+    logger.close()
+    return 0
+
+
 def _inspect(args):
-    from .config import (load_colorgradient, load_colorgradient3d,
-                         load_shanchen, load_transport)
+    from .config import (load_basic, load_colorgradient,
+                         load_colorgradient3d, load_shanchen,
+                         load_transport)
     loaders = {"cg": lambda: load_colorgradient(args.config)[:2],
                "cg3d": lambda: (load_colorgradient3d(args.config)[0],),
                "sc": lambda: load_shanchen(args.config,
                                            args.physics_config)[:2],
-               "transport": lambda: (load_transport(args.config),)}
+               "transport": lambda: (load_transport(args.config),),
+               "basic": lambda: (load_basic(args.config)[0],)}
     out = loaders[args.model]()
     for obj in out:
-        print(json.dumps(dataclasses.asdict(obj), default=str, indent=2))
+        if dataclasses.is_dataclass(obj):
+            obj = dataclasses.asdict(obj)
+        print(json.dumps(obj, default=str, indent=2))
     return 0
 
 
@@ -382,7 +461,8 @@ def main(argv=None) -> int:
 
     def common(sp):
         sp.add_argument("config", help="legacy-dialect INI file")
-        sp.add_argument("--model", choices=("cg", "cg3d", "sc", "transport"),
+        sp.add_argument("--model", choices=("cg", "cg3d", "sc", "transport",
+                                            "basic"),
                         default="cg", help="model family")
         sp.add_argument("--physics-config", default=None,
                         help="secondary INI (SC physics / transport flow)")
@@ -426,8 +506,8 @@ def main(argv=None) -> int:
         return _inspect(args)
     os.makedirs(args.output, exist_ok=True)
     return {"cg": _run_colorgradient, "cg3d": _run_colorgradient3d,
-            "sc": _run_shanchen,
-            "transport": _run_transport}[args.model](args)
+            "sc": _run_shanchen, "transport": _run_transport,
+            "basic": _run_basic}[args.model](args)
 
 
 if __name__ == "__main__":

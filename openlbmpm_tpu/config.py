@@ -337,3 +337,37 @@ def load_transport(path: str, num_default_tracers: int = 1):
                         default="none").lower(),
     )
     return params
+
+
+def load_basic(path: str):
+    """Parse a ``basicsetup.ini``-style file (key map:
+    ``/root/reference/ShanChen2D/SimpleD2Q9.py:28-71``; the reference's
+    BasicD2Q9 reads this file but its repository never ships it).
+
+    Returns ``(solver_kw, u0, domain_extents, DomainSpec, RunSpec)`` where
+    ``solver_kw`` feeds ``SinglePhaseD2Q9`` (tau, collision, body_force)
+    and ``domain_extents = ((x0, x1), (y0, y1))`` bounds the fluid region
+    (cells outside are solid, as the reference's FlowDomain lists)."""
+    ini = LegacyIni(path)
+    nx = ini.integer("Geometry", "nx")
+    ny = ini.integer("Geometry", "ny")
+    t_len = ini.number("Time", "TimeLength", default="1000")
+    t_step = ini.number("Time", "TimeStep", default="1.0")
+    num_steps = max(1, int(round(t_len / max(t_step, 1e-30))))
+    io = ini.integer("Time", "TimeInterval",
+                     default=str(max(1, num_steps // 10)))
+    collision = ini.text("Scheme", "Type", default="SRT").upper()
+    if collision not in ("SRT", "TRT", "MRT"):
+        collision = "SRT"
+    solver_kw = dict(
+        tau=ini.number("FluidParameters", "Tau", default="1.0"),
+        collision=collision,
+        body_force=(0.0, ini.number("BodyForce", "gValue", default="0.0")),
+    )
+    u0 = (ini.number("InitialCondition", "VelocityXLB", default="0.0"),
+          ini.number("InitialCondition", "VelocityYLB", default="0.0"))
+    xdom = ini.floats("FlowDomain", "xDomain", default=f"0,{nx - 1}")
+    ydom = ini.floats("FlowDomain", "yDomain", default=f"0,{ny - 1}")
+    extents = ((int(xdom[0]), int(xdom[-1])), (int(ydom[0]), int(ydom[-1])))
+    return (solver_kw, u0, extents, DomainSpec(nx=nx, ny=ny),
+            RunSpec(num_steps=num_steps, io_interval=io))

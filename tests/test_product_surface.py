@@ -249,3 +249,26 @@ def test_cli_run_cg3d_with_resume(tmp_path):
     assert rc2 == 0
     recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
     assert any(r["step"] >= 15 for r in recs)
+
+
+def test_cli_run_basic_with_resume(tmp_path):
+    """Single-phase CLI (the reference's BasicD2Q9/basicsetup.ini surface):
+    body-force channel flow runs, logs, checkpoints, resumes."""
+    cfg = str(tmp_path / "basic.ini")
+    txt = open(os.path.join(CONFIGS, "basicsetup.ini")).read()
+    txt = txt.replace("nx = 512", "nx = 16")
+    txt = txt.replace("ny = 1024", "ny = 32")
+    txt = txt.replace("TimeLength = 20000", "TimeLength = 20")
+    txt = txt.replace("TimeInterval = 2500", "TimeInterval = 10")
+    txt = txt.replace("xDomain = 1,510", "xDomain = 1,14")
+    txt = txt.replace("yDomain = 0,1023", "yDomain = 0,31")
+    open(cfg, "w").write(txt)
+    out = str(tmp_path / "out")
+    rc = cli_main(["run", cfg, "--model", "basic", "--output", out,
+                   "--no-pallas"])
+    assert rc == 0
+    recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(r["step"] >= 20 and r["umax"] > 0 for r in recs)
+    rc2 = cli_main(["run", cfg, "--model", "basic", "--output", out,
+                    "--no-pallas", "--resume", "--steps", "10"])
+    assert rc2 == 0
