@@ -16,7 +16,36 @@ import numpy as np
 TARGET_MLUPS = 5000.0
 
 
+def _wait_for_chip(max_wait_s: float = 1200.0) -> None:
+    """Block until the TPU tunnel answers a device probe (wedged claims
+    clear in ~30-45 min; a probe that hangs would otherwise hang the
+    whole bench before jax initializes in this process).  Probes run in
+    subprocesses so a hung jax.devices() can be abandoned."""
+    import subprocess
+    import sys
+    deadline = time.time() + max_wait_s
+    first = True
+    while True:
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True,
+                timeout=max(60.0, min(300.0, deadline - time.time())))
+            if p.returncode == 0 and "ok" in (p.stdout or ""):
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return  # proceed; let the real run surface the error
+        if first:
+            print("# waiting for the TPU tunnel...", flush=True)
+            first = False
+        time.sleep(30.0)
+
+
 def main():
+    _wait_for_chip()
     import jax
     import jax.numpy as jnp
 
