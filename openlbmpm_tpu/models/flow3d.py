@@ -39,7 +39,7 @@ from ..ops import collision as col
 from ..ops import colorgrad as cg
 from ..ops import equilibrium as eq
 from ..ops import macroscopic as mac
-from ..ops.common import bcast_1d, shift
+from ..ops.common import shift
 from ..ops.forcing import guo_source
 from ..ops.streaming import stream, upwind_solid_masks
 

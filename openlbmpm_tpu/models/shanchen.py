@@ -41,7 +41,6 @@ from ..ops import collision as col
 from ..ops import equilibrium as eq
 from ..ops import macroscopic as mac
 from ..ops import shanchen as sc
-from ..ops.common import bcast_1d
 from ..ops.forcing import efs_force_pdf
 from ..ops.streaming import stream, upwind_solid_masks
 

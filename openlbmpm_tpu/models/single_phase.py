@@ -12,7 +12,6 @@ This is the M1 "minimum end-to-end slice" of SURVEY.md section 7.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Literal
 
 import jax

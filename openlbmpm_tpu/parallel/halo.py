@@ -22,7 +22,6 @@ stencil radius <= halo and whose only x coupling is through those stencils
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
