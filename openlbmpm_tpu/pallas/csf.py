@@ -256,7 +256,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         _copy_pairs += [(2, 3), (1, 2), (0, 1)]
     elif outlet_kind == "dirichlet":
         _copy_pairs.append((0, 1))
-    _defer_ok = (compressed and not has_transport and T > 1
+    _defer_ok = (not has_transport and T > 1
                  and all(bool(np.all(_fl_np[src][_fl_np[dst]]))
                          for dst, src in _copy_pairs))
 
@@ -838,9 +838,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return fr_post
 
     # -- one physics sub-step on the full window ---------------------------
-    def _substep(fr, fb, fl, wet, ns_x, ns_y, den_inv, us):
+    def _substep(fr, fb, fl, wet, ns_x, ns_y, den_inv, us, final=True):
         """fr, fb: lists of 9 (W, nx) planes -> post-stream lists.
-        ``us`` is the list of static upwind-solid masks per direction."""
+        ``us`` is the list of static upwind-solid masks per direction.
+        ``final=False`` defers the output solid masking (see
+        ``_substep_c``)."""
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
@@ -857,15 +859,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # pull-streaming with half-way bounce-back on the full window
         out_r = [None] * 9
         out_b = [None] * 9
-        out_r[0] = fr_post[0] * fl
-        out_b[0] = fb_post[0] * fl
+        out_r[0] = fr_post[0] * fl if final else fr_post[0]
+        out_b[0] = fb_post[0] * fl if final else fb_post[0]
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            out_r[i] = jnp.where(us[i], fr_post[io],
-                                 sh(fr_post[i], -dx, -dy)) * fl
-            out_b[i] = jnp.where(us[i], fb_post[io],
-                                 sh(fb_post[i], -dx, -dy)) * fl
+            pr = jnp.where(us[i], fr_post[io], sh(fr_post[i], -dx, -dy))
+            pb = jnp.where(us[i], fb_post[io], sh(fb_post[i], -dx, -dy))
+            out_r[i] = pr * fl if final else pr
+            out_b[i] = pb * fl if final else pb
         return out_r, out_b
 
     # -- compressed sub-step: (f_total list, rho_r) -> same -----------------
@@ -914,13 +916,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             grad_w = np.array([0.0] + [1.0] * 8)
 
-    def _substep_pert(fr, fb, fl, us):
+    def _substep_pert(fr, fb, fl, us, final=True):
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         rinv = 1.0 / rho_safe
-        phi = jnp.where(rho != 0, (rho_r - rho_b) * rinv, 0.0) * fl
+        flb = fl > 0.5
+        phi = jnp.where(jnp.logical_and(flb, rho != 0),
+                        (rho_r - rho_b) * rinv, 0.0)
         ft_ = [fr[i] + fb[i] for i in range(9)]
         mx = ft_[1] - ft_[3] + ft_[5] - ft_[6] - ft_[7] + ft_[8]
         my = ft_[2] - ft_[4] + ft_[5] + ft_[6] - ft_[7] - ft_[8]
@@ -963,7 +967,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 post_r[i] = fr[i] - (fr[i] - feq_rs[i]) * inv_tau
                 post_b[i] = fb[i] - (fb[i] - feq_bs[i]) * inv_tau
         # color gradient of (rho_R - rho_B) with solidDiff on solid voxels
-        diff = (rho_r - rho_b) * fl + solid_phi * (1.0 - fl)
+        diff = jnp.where(flb, rho_r - rho_b, solid_phi)
         gx, gy = _grad2d(diff, float(grad_w[1]), float(grad_w[5]))
         g2 = gx * gx + gy * gy
         gnorm = jnp.sqrt(g2)
@@ -996,15 +1000,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             fb_post[i] = ft - fr_post[i]
         out_r = [None] * 9
         out_b = [None] * 9
-        out_r[0] = fr_post[0] * fl
-        out_b[0] = fb_post[0] * fl
+        out_r[0] = fr_post[0] * fl if final else fr_post[0]
+        out_b[0] = fb_post[0] * fl if final else fb_post[0]
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
-            out_r[i] = jnp.where(us[i], fr_post[io],
-                                 sh(fr_post[i], -dx, -dy)) * fl
-            out_b[i] = jnp.where(us[i], fb_post[io],
-                                 sh(fb_post[i], -dx, -dy)) * fl
+            pr = jnp.where(us[i], fr_post[io], sh(fr_post[i], -dx, -dy))
+            pb = jnp.where(us[i], fb_post[io], sh(fb_post[i], -dx, -dy))
+            out_r[i] = pr * fl if final else pr
+            out_b[i] = pb * fl if final else pb
         return out_r, out_b
 
     # -- compressed Perturbation sub-step ------------------------------------
@@ -1453,10 +1457,10 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     else:
                         fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
                 if is_pert:
-                    fr, fb = _substep_pert(fr, fb, fl, us)
+                    fr, fb = _substep_pert(fr, fb, fl, us, final=_final)
                 else:
                     fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y,
-                                      den_inv, us)
+                                      den_inv, us, final=_final)
         if compressed:
             out_s = outs[0]
             for i in range(9):
