@@ -31,11 +31,16 @@ def _wait_for_chip(max_wait_s: float = 1200.0) -> None:
                 [sys.executable, "-c",
                  "import jax; jax.devices(); print('ok')"],
                 capture_output=True, text=True,
-                timeout=max(60.0, min(300.0, deadline - time.time())))
+                timeout=max(5.0, min(300.0, deadline - time.time())))
             if p.returncode == 0 and "ok" in (p.stdout or ""):
                 return
+            # probe *completed* with an error (broken env, not a hung
+            # tunnel): surface it and fail fast in the real run
+            print("# device probe failed:\n" +
+                  (p.stderr or "").strip()[-500:], flush=True)
+            return
         except subprocess.TimeoutExpired:
-            pass
+            pass  # hung tunnel claim: wait and retry
         if time.time() >= deadline:
             return  # proceed; let the real run surface the error
         if first:

@@ -76,7 +76,8 @@ def _run_colorgradient(args):
 
     # temporally-blocked fused kernel: N steps per device call
     step_fn = model.step
-    blk, step_scale = _pick_block(model, args, run.io_interval)
+    blk, step_scale = _pick_block(model, args, run.io_interval,
+                              run.num_steps)
     if blk is not None:
         step_fn = lambda s: blk(*s)  # noqa: E731
     elif args.block > 1:
@@ -133,26 +134,36 @@ def _run_colorgradient(args):
     return 0
 
 
-def _pick_block(model, args, io_interval, **kw):
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _pick_block(model, args, io_interval, num_steps, **kw):
     """Resolve --block into (blocked_step | None, step_scale).
 
     Explicit ``--block N`` requests exactly N; the default (0 = auto)
-    tries the largest supported T in (4, 2) that divides the I/O cadence
-    so callbacks land on true step boundaries.  Off-TPU (or with
-    --no-pallas) runs stay unblocked.  Extra keywords forward to
+    tries the largest supported T in (4, 2).  Any T must divide both the
+    I/O cadence and the total step count so callbacks land on true step
+    boundaries and the run length is exact (a non-divisor is rejected
+    with a note rather than silently shifting the cadence).  Off-TPU (or
+    with --no-pallas) runs stay unblocked.  Extra keywords forward to
     ``make_block_step`` (e.g. compressed=True)."""
     if args.no_pallas or args.block == 1:
         return None, 1
-    import jax
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
+    if not _on_tpu():
         return None, 1
-    if platform not in ("tpu", "axon"):
-        return None, 1
-    cands = ([args.block] if args.block > 1
-             else [t for t in (4, 2) if io_interval % t == 0])
+    cands = [args.block] if args.block > 1 else [4, 2]
     for t in cands:
+        if io_interval % t or num_steps % t:
+            if args.block > 1:
+                print(f"note: --block {t} does not divide the I/O "
+                      f"interval ({io_interval}) and step count "
+                      f"({num_steps}); running unblocked")
+            continue
         blk = model.make_block_step(steps_per_call=t, **kw)
         if blk is not None:
             return blk, t
@@ -196,7 +207,8 @@ def _run_shanchen(args):
     ckpt_every = max(1, 10 * run.io_interval)
 
     step_fn = model.step
-    blk, step_scale = _pick_block(model, args, run.io_interval)
+    blk, step_scale = _pick_block(model, args, run.io_interval,
+                              run.num_steps)
     if blk is not None:
         step_fn = blk
     elif args.block > 1:
@@ -253,7 +265,8 @@ def _run_transport(args):
     step_fn = model.step
     step_scale = 1
     get_g = lambda st: st.g  # noqa: E731
-    blk, t = _pick_block(model, args, run.io_interval, compressed=True)
+    blk, t = _pick_block(model, args, run.io_interval,
+                     run.num_steps, compressed=True)
     if blk is not None and not getattr(blk, "needs_mass0", False):
         state = (model.flow.pack_state(state.f_r, state.f_b), state.g)
         step_fn = lambda st: blk(*st)  # noqa: E731
@@ -309,23 +322,22 @@ def _run_colorgradient3d(args):
     # compressed fused step on TPU: 20-plane state instead of 38
     step_fn = model.step
     macro_fn = model.macro
-    if not args.no_pallas:
-        import jax
-        try:
-            platform = jax.devices()[0].platform
-        except Exception:
-            platform = "cpu"
-        if platform in ("tpu", "axon"):
-            cstep = model.make_compressed_step()
-            if cstep is not None:
-                state = model.pack_state(*state)
-                step_fn = cstep
-                macro_fn = model.macro_compressed
+    layout = "split"
+    if not args.no_pallas and _on_tpu():
+        cstep = model.make_compressed_step()
+        if cstep is not None:
+            state = model.pack_state(*state)
+            step_fn = cstep
+            macro_fn = model.macro_compressed
+            layout = "packed"
 
-    # checkpoint/resume on the run's state layout (split or packed)
+    # checkpoint/resume on the run's state layout: the layout rides in
+    # the fingerprint so a packed (TPU) checkpoint cannot be silently
+    # resumed into a split (--no-pallas) run or vice versa
     from .checkpoint import (config_fingerprint, load_checkpoint,
                              save_checkpoint)
-    fingerprint = config_fingerprint(params)
+    fingerprint = config_fingerprint(
+        {"params": dataclasses.asdict(params), "state_layout": layout})
     start_step = 0
     ckpt_path = os.path.join(args.output, "checkpoint.npz")
     if args.resume and os.path.exists(ckpt_path):
@@ -390,7 +402,8 @@ def _run_basic(args):
         print(f"resumed from step {start_step}")
 
     step_fn = model.step
-    blk, step_scale = _pick_block(model, args, run.io_interval)
+    blk, step_scale = _pick_block(model, args, run.io_interval,
+                              run.num_steps)
     if blk is not None:
         step_fn = blk
     elif args.block > 1:
