@@ -324,3 +324,19 @@ def test_contact_angle_150_viscosity_contrast_100(dtype):
     r_cap = (base ** 2 / 4.0 + height ** 2) / (2.0 * height)
     meas = np.degrees(np.arccos(np.clip((r_cap - height) / r_cap, -1, 1)))
     assert abs(meas - 150.0) < 15.0, meas
+
+
+@pytest.mark.slow
+def test_relperm_layered_poiseuille():
+    """Layered two-phase Poiseuille relative permeability: measured phase
+    fluxes match the closed forms kr_w = (2 - 3s + s^3)/2 and
+    kr_n = (3/2) M s (1 - s^2) + s^3 at the measured saturation within
+    2% (docs/make_relperm_figure.py runs the full curve)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "docs"))
+    from make_relperm_figure import run_point
+    s_meas, kr_w, kr_n, kr_w_a, kr_n_a = run_point(0.45)
+    assert abs(kr_w / kr_w_a - 1.0) < 0.02, (kr_w, kr_w_a)
+    assert abs(kr_n / kr_n_a - 1.0) < 0.02, (kr_n, kr_n_a)
