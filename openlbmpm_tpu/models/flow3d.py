@@ -147,7 +147,7 @@ class ShanChenMCMP3D:
     """
 
     def __init__(self, geometry: Geometry, params: ShanChenParams3D,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, use_pallas: bool | str = "auto"):
         self.lat = D3Q19
         self.geo = geometry
         self.p = params
@@ -171,6 +171,7 @@ class ShanChenMCMP3D:
                 if ed:
                     adh[d] += float(D3Q19.w[i]) * ed * s
         self.adhesion = jnp.asarray(np.stack(adh), dtype)
+        self._fused = self._build_fused(use_pallas)
         self._step = jax.jit(self._step_impl, donate_argnums=0)
 
     def init_state_droplet(self, rho_main, rho_background, center=None,
@@ -211,7 +212,33 @@ class ShanChenMCMP3D:
                        float(self.p.body_force[d]) * rho_k)
         return tuple(out)
 
+    def _build_fused(self, use_pallas):
+        """Fused D3Q19 SC Pallas step (TPU)."""
+        if not use_pallas:
+            return None
+        if use_pallas == "auto":
+            try:
+                platform = jax.devices()[0].platform
+            except Exception:
+                return None
+            if platform not in ("tpu", "axon"):
+                return None
+        from ..pallas.sc3d import build_sc3d_fused_step
+        return build_sc3d_fused_step(
+            self.geo, self.p, self.dtype,
+            interpret=(use_pallas == "interpret"))
+
+    def make_block_step(self, steps_per_call: int = 2,
+                        slabs_per_block: int | None = None,
+                        interpret: bool = False):
+        from ..pallas.sc3d import build_sc3d_fused_step
+        return build_sc3d_fused_step(
+            self.geo, self.p, self.dtype, slabs_per_block,
+            steps_per_call=steps_per_call, interpret=interpret)
+
     def _step_impl(self, f):
+        if self._fused is not None:
+            return self._fused(f)
         rho_k = _density3(f)
         rho_safe = jnp.where(rho_k > 0, rho_k, 1.0)
         # common velocity u' (``calMacroWholeVelocity`` in 2D)

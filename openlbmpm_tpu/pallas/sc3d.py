@@ -1,0 +1,310 @@
+"""Fused D3Q19 Shan-Chen MCMP step as a Pallas TPU kernel.
+
+The 3D sibling of ``pallas/shanchen.py``, built on the z-slab window
+scheme of ``pallas/cg3d.py``: the grid iterates over z-slabs spanning
+full (ny, nx) planes, x/y stencil taps are lane/sublane rolls, z taps are
+plain slices, and every pipeline stage computes only the z-range still
+live:
+
+    psi on [0, W) -> interaction force on [1, W-1) -> collision on
+    [1, W-1) -> streaming writes [2, W-2)
+
+so each sub-step costs 2 halo slabs per side (the SC interaction stencil
+is nearest-neighbor, unlike the CSF chain's 4).
+
+Physics identical to ``models/flow3d.ShanChenMCMP3D._step_impl``
+(the 3D generalization of the reference's original-SC velocity-shift
+scheme, ``OptimizedD2Q9GPU.calInteractionForce:186-313`` /
+``ShanChenD2Q9.runOptimizedLBM``): psi = rho, separable D3Q19
+interaction stencil, common velocity u', per-fluid shifted-velocity
+equilibria, SRT collision, pull-streaming with half-way bounce-back.
+Periodic z (the 3D SC model defines no z-face boundary conditions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import Geometry
+from ..lattice import D3Q19
+
+__all__ = ["build_sc3d_fused_step"]
+
+# opposite-direction pairs (e components are (x, y, z))
+_PAIRS3 = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
+           (15, 16), (17, 18))
+
+
+def _rollxy(a, dx: int, dy: int, nx: int, ny: int):
+    out = a
+    if dy:
+        out = pltpu.roll(out, (-dy) % ny, axis=out.ndim - 2)
+    if dx:
+        out = pltpu.roll(out, (-dx) % nx, axis=out.ndim - 1)
+    return out
+
+
+def _zcut(a, k: int):
+    if k == 0:
+        return a
+    return a[..., k:a.shape[a.ndim - 3] - k, :, :]
+
+
+def _zsh(a, dz: int, k: int):
+    zax = a.ndim - 3
+    return a[..., k + dz:a.shape[zax] - k + dz, :, :]
+
+
+def geo_stack_sc3(geometry: Geometry) -> np.ndarray:
+    """[is_fluid, adh_x, adh_y, adh_z]: the static solid-adhesion stencil
+    field Σ_i w_i e_i is_solid(x+e_i) (as ``ShanChenMCMP3D.adhesion``)."""
+    lat = D3Q19
+    solid = geometry.is_solid.astype(np.float64)
+    adh = [np.zeros_like(solid) for _ in range(3)]
+    for i in range(1, lat.q):
+        s = np.roll(np.roll(np.roll(solid, -int(lat.e[i, 2]), 0),
+                            -int(lat.e[i, 1]), 1),
+                    -int(lat.e[i, 0]), 2)
+        for d in range(3):
+            ed = int(lat.e[i, d])
+            if ed:
+                adh[d] += float(lat.w[i]) * ed * s
+    return np.stack([geometry.is_fluid.astype(np.float64), *adh])
+
+
+def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
+                          slabs_per_block: int | None = None,
+                          steps_per_call: int = 1,
+                          interpret: bool = False):
+    """Build the fused step ``f (K, 19, nz, ny, nx) -> f'`` advancing
+    ``steps_per_call`` SC time steps per call.  Returns None when the
+    domain does not slab-decompose or VMEM would overflow."""
+    nz, ny, nx = geometry.shape
+    lat = D3Q19
+    e = lat.e
+    w_lat = lat.w
+    opp = lat.opp
+    Q = lat.q
+    K = params.num_fluids
+    T = int(steps_per_call)
+    tau = tuple(float(t) for t in params.tau)
+    g_mat = np.asarray(params.g_matrix, np.float64)
+    g_sol = np.asarray(params.g_solid, np.float64)
+    bf = tuple(float(v) for v in params.body_force)
+    if getattr(params, "psi", "rho") != "rho":
+        return None  # 3D SC model is psi = rho (flow3d.ShanChenMCMP3D)
+
+    need = 2 * T  # 2 halo slabs per sub-step: stencil ring + streaming
+
+    def _pick_h(r):
+        for d in range(need, r + 1):
+            if r % d == 0 and nz % d == 0:
+                return d
+        return None
+
+    n_state = Q * K
+    if slabs_per_block is None:
+        for r in (32, 16, 8, 4, 2):
+            if nz % r:
+                continue
+            h = _pick_h(r)
+            if h is None:
+                continue
+            planes = (n_state + 12) * (r + 2 * h) + n_state * r
+            mb = planes * ny * nx * 4 * 2.0 / 2**20
+            if mb <= 110:
+                slabs_per_block = r
+                break
+        else:
+            return None
+    R = slabs_per_block
+    if not R or nz % R:
+        return None
+    H = _pick_h(R)
+    if H is None:
+        return None
+    W = R + 2 * H
+    nb = nz // R
+    hb = nz // H
+
+    geo_np = geo_stack_sc3(geometry)
+    n_geo = geo_np.shape[0]
+    geo_dev = jnp.asarray(geo_np, dtype)
+
+    def shx(a, d):
+        return _rollxy(a, d, 0, nx, ny)
+
+    def shy(a, d):
+        return _rollxy(a, 0, d, nx, ny)
+
+    def _grad3d(a):
+        """Σ_i w_i e_i a(x+e_i) per component on the range shrunk by one
+        slab per side (separable D3Q19 stencil; see cg3d._grad3d)."""
+        w_ax, w_diag = 1.0 / 18.0, 1.0 / 36.0
+        pE, pW = shx(a, 1), shx(a, -1)
+        pN, pS = shy(a, 1), shy(a, -1)
+        pUD = _zsh(a, 1, 1) + _zsh(a, -1, 1)
+        am = _zcut(a, 1)
+        qx = w_ax * am + w_diag * (_zcut(pN, 1) + _zcut(pS, 1) + pUD)
+        qy = w_ax * am + w_diag * (_zcut(pE, 1) + _zcut(pW, 1) + pUD)
+        qz = w_ax * a + w_diag * (pE + pW + pN + pS)
+        gx = shx(qx, 1) - shx(qx, -1)
+        gy = shy(qy, 1) - shy(qy, -1)
+        gz = _zsh(qz, 1, 1) - _zsh(qz, -1, 1)
+        return gx, gy, gz
+
+    def _feq19(rho, u):
+        """Pair-shared quadratic equilibria (as cg3d._feq_src3, no
+        source)."""
+        ux, uy, uz = u
+        uu = ux * ux + uy * uy + uz * uz
+        base = 1.0 - 1.5 * uu
+        eu = {1: ux, 3: uy, 5: uz, 7: ux + uy, 9: ux - uy, 11: ux + uz,
+              13: ux - uz, 15: uy + uz, 17: uy - uz}
+        feq = [None] * Q
+        feq[0] = float(w_lat[0]) * rho * base
+        for i, io in _PAIRS3:
+            wrho = float(w_lat[i]) * rho
+            eui = eu[i]
+            a = wrho * (base + 4.5 * (eui * eui))
+            b = (3.0 * wrho) * eui
+            feq[i] = a + b
+            feq[io] = a - b
+        return feq
+
+    # one sub-step: inputs valid on a window range of length n; outputs on
+    # n-4 (offset +2).  `gcut(ch, k)` slices geometry channel ch by the
+    # absolute offset k; `solid_sh(i)` is the direction-i upwind-solid
+    # mask at offset 2.
+    def _substep(f, gcut, solid_sh):
+        rho = [sum(f[k]) for k in range(K)]
+        # separable interaction stencil of psi = rho: offset 1
+        v = [_grad3d(rho[k]) for k in range(K)]
+        fl1 = gcut(0, 1)
+        rho1 = [_zcut(rho[k], 1) for k in range(K)]
+        force = []  # [K][3] at offset 1
+        for k in range(K):
+            fk = []
+            for d in range(3):
+                gv = None
+                for j in range(K):
+                    if not g_mat[k, j]:
+                        continue
+                    t = float(g_mat[k, j]) * v[j][d]
+                    gv = t if gv is None else gv + t
+                if gv is None:
+                    gv = jnp.zeros_like(rho1[k])
+                c = -rho1[k] * (gv + float(g_sol[k]) * gcut(1 + d, 1))
+                if bf[d]:
+                    c = c + bf[d] * rho1[k]
+                fk.append(c)
+            force.append(fk)
+
+        # common velocity u' = Σ_k m_k/τ_k / Σ_k ρ_k/τ_k at offset 1
+        den = None
+        for k in range(K):
+            t = rho1[k] * (1.0 / tau[k])
+            den = t if den is None else den + t
+        den = jnp.where(den != 0, den, 1.0)
+        num = [None, None, None]
+        for k in range(K):
+            mom = [None, None, None]
+            for i in range(1, Q):
+                fki = _zcut(f[k][i], 1)
+                for d in range(3):
+                    ed = float(e[i, d])
+                    if ed:
+                        t = fki if ed == 1.0 else -fki
+                        mom[d] = t if mom[d] is None else mom[d] + t
+            for d in range(3):
+                t = mom[d] * (1.0 / tau[k])
+                num[d] = t if num[d] is None else num[d] + t
+        up = [num[d] / den for d in range(3)]
+
+        out = [[None] * Q for _ in range(K)]
+        fl2 = gcut(0, 2)
+        for k in range(K):
+            rs = jnp.where(rho1[k] > 0, rho1[k], 1.0)
+            ueq = tuple(up[d] + tau[k] * force[k][d] / rs
+                        for d in range(3))
+            feq = _feq19(rho1[k], ueq)
+            inv_t = 1.0 / tau[k]
+            post = [None] * Q
+            for i in range(Q):
+                fki = _zcut(f[k][i], 1)
+                post[i] = fki - (fki - feq[i]) * inv_t
+            out[k][0] = _zcut(post[0], 1) * fl2
+            for i in range(1, Q):
+                io = int(opp[i])
+                dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
+                pulled = _rollxy(_zsh(post[i], -dz, 1), -dx, -dy, nx, ny)
+                out[k][i] = jnp.where(solid_sh(i), _zcut(post[io], 1),
+                                      pulled) * fl2
+        return out
+
+    def kernel(*refs):
+        f_refs = refs[:3 * K]
+        g_c, g_u, g_d = refs[3 * K:3 * K + 3]
+        outs = refs[3 * K + 3:]
+        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        solid = 1.0 - geo[0]
+        f = []
+        for k in range(K):
+            c, u, d = f_refs[3 * k:3 * k + 3]
+            win = jnp.concatenate([u[:], c[:], d[:]], axis=1)
+            f.append([win[i] for i in range(Q)])
+        for t in range(T):
+            base = 2 * t
+
+            def gcut_s(ch, k, _b=base):
+                return _zcut(geo[ch], _b + k)
+
+            def solid_sh_s(i, _b=base):
+                dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
+                return _rollxy(_zsh(_zcut(solid, _b + 1), -dz, 1),
+                               -dx, -dy, nx, ny) > 0.5
+
+            f = _substep(f, gcut_s, solid_sh_s)
+        o0 = H - 2 * T
+        for k in range(K):
+            for i in range(Q):
+                outs[k][i] = f[k][i][o0:o0 + R]
+
+    center = pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0))
+    halo_up = pl.BlockSpec((Q, H, ny, nx),
+                           lambda i: (0, (i * (R // H) - 1) % hb, 0, 0))
+    halo_dn = pl.BlockSpec((Q, H, ny, nx),
+                           lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
+    gc = pl.BlockSpec((n_geo, R, ny, nx), lambda i: (0, i, 0, 0))
+    gu = pl.BlockSpec((n_geo, H, ny, nx),
+                      lambda i: (0, (i * (R // H) - 1) % hb, 0, 0))
+    gd = pl.BlockSpec((n_geo, H, ny, nx),
+                      lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[*([center, halo_up, halo_dn] * K), gc, gu, gd],
+        out_specs=tuple(pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0))
+                        for _ in range(K)),
+        out_shape=tuple(jax.ShapeDtypeStruct((Q, nz, ny, nx), dtype)
+                        for _ in range(K)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )
+
+    def step(f):
+        """f: (K, 19, nz, ny, nx) -> same."""
+        parts = []
+        for k in range(K):
+            parts.extend([f[k]] * 3)
+        outs = call(*parts, geo_dev, geo_dev, geo_dev)
+        return jnp.stack(outs)
+
+    return step

@@ -1,0 +1,42 @@
+"""Fused D3Q19 Shan-Chen kernel vs the jnp model path (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openlbmpm_tpu import geometry as geo
+from openlbmpm_tpu.models.flow3d import ShanChenMCMP3D, ShanChenParams3D
+from openlbmpm_tpu.pallas.sc3d import build_sc3d_fused_step
+
+
+def _model(walls: bool, n: int = 16):
+    solid = np.zeros((n, n, n), bool)
+    if walls:
+        solid[:, 0, :] = solid[:, -1, :] = True
+    p = ShanChenParams3D(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                         g_solid=(-0.3, 0.3), tau=(1.0, 0.8),
+                         body_force=(0.0, 0.0, -1e-5) if walls
+                         else (0.0, 0.0, 0.0))
+    m = ShanChenMCMP3D(geo.from_solid_mask(solid), p, dtype=jnp.float64,
+                       use_pallas=False)
+    return m, p
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("walls,t_block", [
+    (False, 1), (True, 1), (True, 2)])
+def test_sc3d_fused_matches_jnp(walls, t_block):
+    m, p = _model(walls)
+    fused = build_sc3d_fused_step(m.geo, p, jnp.float64,
+                                  slabs_per_block=4,
+                                  steps_per_call=t_block, interpret=True)
+    assert fused is not None
+    f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=5.0)
+    a = f
+    c = f
+    for _ in range(4):
+        a = m._step_impl(a)
+    for _ in range(4 // t_block):
+        c = fused(c)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=0, atol=1e-12)
