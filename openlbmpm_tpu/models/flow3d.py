@@ -75,7 +75,8 @@ class SinglePhaseD3Q19:
 
     def __init__(self, geometry: Geometry, tau: float = 1.0,
                  collision: Literal["SRT", "TRT"] = "SRT",
-                 body_force=(0.0, 0.0, 0.0), dtype=jnp.float32):
+                 body_force=(0.0, 0.0, 0.0), dtype=jnp.float32,
+                 use_pallas: bool | str = "auto"):
         self.lat = D3Q19
         self.geo = geometry
         self.tau = float(tau)
@@ -85,7 +86,29 @@ class SinglePhaseD3Q19:
         self.fluid_mask = jnp.asarray(geometry.is_fluid, dtype)
         self.upwind_solid = jnp.asarray(
             upwind_solid_masks(self.lat, geometry.is_solid))
+        self._fused = None
+        if use_pallas:
+            ok = True
+            if use_pallas == "auto":
+                try:
+                    ok = jax.devices()[0].platform in ("tpu", "axon")
+                except Exception:
+                    ok = False
+            if ok:
+                from ..pallas.single3d import build_single3d_fused_step
+                self._fused = build_single3d_fused_step(
+                    geometry, self.tau, collision, self.body_force, dtype,
+                    interpret=(use_pallas == "interpret"))
         self._step = jax.jit(self._step_impl, donate_argnums=0)
+
+    def make_block_step(self, steps_per_call: int = 4,
+                        slabs_per_block: int | None = None,
+                        interpret: bool = False):
+        from ..pallas.single3d import build_single3d_fused_step
+        return build_single3d_fused_step(
+            self.geo, self.tau, self.collision, self.body_force,
+            self.dtype, slabs_per_block, steps_per_call=steps_per_call,
+            interpret=interpret)
 
     def init_state(self, rho0: float = 1.0):
         rho = jnp.full(self.geo.shape, rho0, self.dtype) * self.fluid_mask
@@ -100,6 +123,8 @@ class SinglePhaseD3Q19:
         return rho, u
 
     def _step_impl(self, f):
+        if self._fused is not None:
+            return self._fused(f)
         rho = _density3(f)
         force = tuple(b * rho for b in self.body_force)
         u = mac.velocity(self.lat, f, rho, force)

@@ -40,3 +40,34 @@ def test_sc3d_fused_matches_jnp(walls, t_block):
         c = fused(c)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("collision,force,t_block", [
+    ("SRT", False, 1), ("SRT", True, 2), ("TRT", True, 1)])
+def test_single3d_fused_matches_jnp(collision, force, t_block):
+    """Fused single-phase D3Q19 kernel (pallas/single3d.py) matches the
+    jnp SinglePhaseD3Q19 step (SRT/TRT, Guo force, walls)."""
+    from openlbmpm_tpu.models.flow3d import SinglePhaseD3Q19
+    from openlbmpm_tpu.pallas.single3d import build_single3d_fused_step
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    bf = (0.0, 0.0, -1e-5) if force else (0.0, 0.0, 0.0)
+    m = SinglePhaseD3Q19(geo.from_solid_mask(solid), tau=0.8,
+                         collision=collision, body_force=bf,
+                         dtype=jnp.float64, use_pallas=False)
+    fused = build_single3d_fused_step(m.geo, 0.8, collision, bf,
+                                      jnp.float64, slabs_per_block=4,
+                                      steps_per_call=t_block,
+                                      interpret=True)
+    assert fused is not None
+    f = m.init_state()
+    a = f
+    c = f
+    for _ in range(4):
+        a = m._step_impl(a)
+    for _ in range(4 // t_block):
+        c = fused(c)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=0, atol=1e-12)
