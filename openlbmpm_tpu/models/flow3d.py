@@ -538,6 +538,11 @@ class ColorGradientRK3D:
             return self._fused(f_r, f_b)
         f_r, f_b = self._apply_inlet(f_r, f_b)
         f_r, f_b = self._apply_outlet(f_r, f_b)
+        return self._physics(f_r, f_b)
+
+    def _physics(self, f_r, f_b):
+        """Collide + recolor + stream on post-BC PDFs (the physics half of
+        ``_step_impl``; ``TransportRK3D`` composes it after the tracer)."""
         rho_r, rho_b, phi, g, force = self.color_force_fields(f_r, f_b)
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)
@@ -699,8 +704,28 @@ class TransportRK3D:
     def concentration(self, g):
         return self.transport.concentration(g)
 
+    def make_fused_step(self, slabs_per_block: int | None = None,
+                        interpret: bool = False):
+        """Fused coupled step ``(s, g) -> (s', g')`` on the compressed
+        20-plane flow state (``flow.pack_state``) with the D3Q7 tracers
+        advanced in the same Pallas pass (see pallas/cg3d.py).  Returns
+        None when the domain does not slab-decompose."""
+        from ..pallas.cg3d import build_cg3d_fused_step
+        return build_cg3d_fused_step(
+            self.geo, self.flow.p, self.flow.dtype, slabs_per_block,
+            steps_per_call=1, bc_config=self.flow.bcs,
+            state_mode="compressed", transport=self.transport,
+            interpret=interpret)
+
     def _step_impl(self, state):
+        # op order (3D semantics are this framework's to define — the
+        # reference ships no 3D code): flow BCs first, then the tracer
+        # sees the post-BC pre-collision fields, then the flow physics.
+        # This lets the fused kernel compose as BC prologue -> in-window
+        # tracer + flow -> interface epilogue with one state read.
         f_r, f_b, g = state
+        f_r, f_b = self.flow._apply_inlet(f_r, f_b)
+        f_r, f_b = self.flow._apply_outlet(f_r, f_b)
         rho_r, rho_b, phi, grad, force = \
             self.flow.color_force_fields(f_r, f_b)
         rho = rho_r + rho_b
@@ -708,7 +733,7 @@ class TransportRK3D:
         mom = mac.momentum(self.flow.lat, f_r + f_b)
         u = tuple((mom[d] + 0.5 * force[d]) / rho_safe for d in range(3))
         g = self.transport._step_impl(g, u, rho_r)
-        f_r, f_b = self.flow._step_impl(f_r, f_b)
+        f_r, f_b = self.flow._physics(f_r, f_b)
         return (f_r, f_b, g)
 
     def step(self, state):

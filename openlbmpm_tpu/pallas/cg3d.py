@@ -127,6 +127,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           bc_config=None,
                           state_mode: str = "split",
                           local_nz: int | None = None,
+                          transport=None,
                           interpret: bool = False):
     """Build the fused step for D3Q19 CSF: ``(f_r, f_b) -> (f_r', f_b')``
     (split) or ``s -> s'`` on the 20-plane compressed state.
@@ -137,6 +138,14 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     the matching geometry slabs; BC slabs stay in the jnp prologue on the
     globally sharded array, so no global-offset plumbing is needed.
 
+    ``transport`` (a ``TransportD3Q7``; compressed, T=1 only) builds the
+    coupled step ``(s, g) -> (s', g')`` advancing phase-confined D3Q7
+    tracers alongside the flow (``TransportRK3D._step_impl``): the tracer
+    collides on the in-window pre-collision flow fields and streams in
+    the same pass; the hard interface bounce-back applies as a jnp
+    epilogue (it reads post-stream neighbors, which would cost an extra
+    halo slab in-window).
+
     Returns None when the domain does not slab-decompose, VMEM would
     overflow, or a BC kind is unsupported in-kernel.
     """
@@ -146,6 +155,21 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_local = local_nz is not None
     if is_local and (not compressed or T != 1):
         return None
+    has_transport = transport is not None
+    if has_transport and (not compressed or T != 1 or is_local):
+        return None
+    if has_transport:
+        NT = int(transport.num_tracers)
+        tau_tr = tuple(float(t) for t in transport.tau)
+        JC = np.asarray(transport.j_coeffs, np.float64)  # (NT, 7)
+        tr_crit = float(transport.criteria)
+        tr_mode = transport.interface_mode
+        if tr_mode not in ("none", "bounceback"):
+            return None
+        # D3Q7 directions/opposites (e components are (x, y, z))
+        E7 = ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+              (0, 0, 1), (0, 0, -1))
+        OPP7 = (2, 1, 4, 3, 6, 5)
     grid_nz = int(local_nz) if is_local else nz
 
     inlet_kind = getattr(bc_config, "inlet", "periodic")
@@ -178,13 +202,15 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # keep Mosaic's scoped usage ~2x the window-plane estimate).
         # Geometry costs 10 window planes of VMEM: 4 packed inputs plus
         # the 6 decoded logical channels.
+        n_tr = 9 * NT if has_transport else 0
         for r in (32, 16, 8, 4, 2):
             if grid_nz % r:
                 continue
             h = _pick_h(r)
             if h is None:
                 continue
-            planes = (n_state + 10) * (r + 2 * h) + n_state * r
+            planes = (n_state + 10 + n_tr) * (r + 2 * h) + \
+                (n_state + n_tr) * r
             mb = planes * ny * nx * 4 * 2.0 / 2**20
             if mb <= 110:
                 slabs_per_block = r
@@ -394,7 +420,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         for i in range(Q):
             fti = ft3[i]
             post[i] = fti - (fti - feq[i]) * inv_tau + pref * src[i]
-        return post
+        return post, u
 
     def _seg_terms(rho_r3, rho_b3, rinv3, g3, g_rinv3):
         """(frac_r, seg dict by direction) on the offset-3 range:
@@ -571,7 +597,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     # `gcut(ch, k)` slices geometry channel `ch` to the current range
     # shrunk by k slabs per side; `solid_sh(i, k)` gives the upwind-solid
     # mask for direction i on that range (z by slice, x/y by roll).
-    def _substep_c(ft, rho_r, gcut, solid_sh):
+    def _substep_c(ft, rho_r, gcut, solid_sh, gtr=None, solid_sh7=None):
         rho = sum(ft)
         rho_b = rho - rho_r
         rinv, phi, g, force, g2, g_rinv = _fields(rho_r, rho_b, rho, gcut)
@@ -579,8 +605,36 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         rho_r3 = _zcut(rho_r, 3)
         rho_b3 = _zcut(rho_b, 3)
         rinv3 = _zcut(rinv, 3)
-        post = _collide_total(ft3, rho_r3, rho_b3, rinv3, _zcut(phi, 3),
+        post, u3 = _collide_total(ft3, rho_r3, rho_b3, rinv3,
+                                  _zcut(phi, 3),
                               force)
+        gtr_out = None
+        if gtr is not None:
+            # D3Q7 tracer: J-scheme collide on the pre-collision flow
+            # fields (u3), pull-stream with half-way bounce-back
+            # (``TransportD3Q7._step_impl``; interface repair is a jnp
+            # epilogue)
+            fl4 = gcut(0, 4)
+            gtr_out = []
+            for t in range(NT):
+                g3 = [_zcut(p, 3) for p in gtr[t]]
+                conc = sum(g3)
+                inv_tt = 1.0 / tau_tr[t]
+                ghat = [None] * 7
+                eu7 = (u3[0], -u3[0], u3[1], -u3[1], u3[2], -u3[2])
+                ghat[0] = g3[0] - (g3[0] - conc * float(JC[t, 0])) * inv_tt
+                for i in range(1, 7):
+                    geq = conc * (float(JC[t, i]) + 0.5 * eu7[i - 1])
+                    ghat[i] = g3[i] - (g3[i] - geq) * inv_tt
+                new = [_zcut(ghat[0], 1) * fl4]
+                for i in range(1, 7):
+                    dx, dy, dz = E7[i - 1]
+                    io = OPP7[i - 1]
+                    pulled = _rollxy(_zsh(ghat[i], -dz, 1), -dx, -dy,
+                                     nx, ny)
+                    new.append(jnp.where(solid_sh7(i), _zcut(ghat[io], 1),
+                                         pulled) * fl4)
+                gtr_out.append(new)
         g3 = [_zcut(c, 1) for c in g]
         frac_r, seg = _seg_terms(rho_r3, rho_b3, rinv3, g3, _zcut(g_rinv, 1))
 
@@ -601,6 +655,8 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             pulled_r = _rollxy(_zsh(frp_c[i], -dz, 1), -dx, -dy, nx, ny)
             rho_r_new = rho_r_new + jnp.where(us_i, _zcut(frp_c[io], 1),
                                               pulled_r)
+        if gtr is not None:
+            return out_t, rho_r_new * fl4, gtr_out
         return out_t, rho_r_new * fl4
 
     def _substep(fr, fb, gcut, solid_sh):
@@ -612,7 +668,8 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         rho_r3 = _zcut(rho_r, 3)
         rho_b3 = _zcut(rho_b, 3)
         rinv3 = _zcut(rinv, 3)
-        post = _collide_total(ft3, rho_r3, rho_b3, rinv3, _zcut(phi, 3),
+        post, u3 = _collide_total(ft3, rho_r3, rho_b3, rinv3,
+                                  _zcut(phi, 3),
                               force)
         g3 = [_zcut(c, 1) for c in g]
         frac_r, seg = _seg_terms(rho_r3, rho_b3, rinv3, g3, _zcut(g_rinv, 1))
@@ -654,7 +711,11 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             g_d = jnp.where(last, gdn_sl[:], g_d[:])
         elif compressed:
             s_c, s_u, s_d, g_c, g_u, g_d = refs[:6]
-            outs = refs[6:]
+            idx = 6
+            if has_transport:
+                tr_c, tr_u, tr_d = refs[6:9]
+                idx = 9
+            outs = refs[idx:]
         else:
             fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
             outs = refs[9:]
@@ -680,6 +741,11 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
             ft = [s[i] for i in range(Q)]
             rho_r = s[Q]
+            gtr = None
+            if has_transport:
+                gw = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=1)
+                gtr = [[gw[t * 7 + i] for i in range(7)]
+                       for t in range(NT)]
         else:
             f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
             f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
@@ -724,7 +790,18 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     return _rollxy(_zsh(_zcut(solid, _b + 3), -dz, 1),
                                    -dx, -dy, nx, ny)
 
-                ft, rho_r = _substep_c(ft, rho_r, gcut_s, solid_sh_s)
+                if has_transport:
+                    def solid_sh7_s(i, _b=base):
+                        dx, dy, dz = E7[i - 1]
+                        return _rollxy(
+                            _zsh(_zcut(solid, _b + 3), -dz, 1),
+                            -dx, -dy, nx, ny) > 0.5
+
+                    ft, rho_r, gtr = _substep_c(ft, rho_r, gcut_s,
+                                                solid_sh_s, gtr,
+                                                solid_sh7_s)
+                else:
+                    ft, rho_r = _substep_c(ft, rho_r, gcut_s, solid_sh_s)
             else:
                 if bc_in_kernel:
                     flf = _zcut(flw, off)
@@ -759,6 +836,11 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for i in range(Q):
                 out_s[i] = ft[i][o0:o0 + R]
             out_s[Q] = rho_r[o0:o0 + R]
+            if has_transport:
+                out_g = outs[1]
+                for t in range(NT):
+                    for i in range(7):
+                        out_g[t * 7 + i] = gtr[t][i][o0:o0 + R]
             return
         out_r, out_b = outs[0], outs[1]
         for i in range(Q):
@@ -790,6 +872,19 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_specs = (pl.BlockSpec((n_st, R, ny, nx),
                                   lambda i: (0, i, 0, 0)),)
         out_shape = (jax.ShapeDtypeStruct((n_st, nz, ny, nx), dtype),)
+        if has_transport:
+            n_g = 7 * NT
+            in_specs += [
+                pl.BlockSpec((n_g, R, ny, nx), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((n_g, H, ny, nx),
+                             lambda i: (0, (i * (R // H) - 1) % hb, 0, 0)),
+                pl.BlockSpec((n_g, H, ny, nx),
+                             lambda i: (0, (i * (R // H) + R // H) % hb,
+                                        0, 0))]
+            out_specs = out_specs + (
+                pl.BlockSpec((n_g, R, ny, nx), lambda i: (0, i, 0, 0)),)
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((n_g, nz, ny, nx), dtype),)
     else:
         in_specs = [center, halo_up, halo_dn,
                     center, halo_up, halo_dn, gc, gu, gd]
@@ -937,7 +1032,35 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         step.bc_prologue_c = _bc_prologue_c if bc_prologue else None
         step.halo_slabs = H
         return step
-    if compressed:
+    if compressed and has_transport:
+        from ..ops.common import shift as _shift
+
+        def step(s, g):
+            """(s, g) -> (s', g'), g (NT, 7, nz, ny, nx)."""
+            if bc_prologue:
+                s = _bc_prologue_c(s)
+            rho_r_pre = s[Q]
+            gf = g.reshape((NT * 7, nz, ny, nx))
+            s2, g2 = call(s, s, s, geo_dev, geo_dev, geo_dev, gf, gf, gf)
+            g2 = g2.reshape((NT, 7, nz, ny, nx))
+            if tr_mode == "bounceback":
+                # hard interface repair on the post-stream tracers with
+                # the pre-collision domain mask (TransportD3Q7._step_impl)
+                dom = rho_r_pre < tr_crit
+                for i in range(1, 7):
+                    dx, dy, dz = E7[i - 1]
+                    io = OPP7[i - 1]
+                    nbr_out = jnp.logical_and(
+                        dom, ~_shift(dom, dx, dy, dz))
+                    leaked = _shift(g2[:, i], dx, dy, dz)
+                    g2 = g2.at[:, io].set(
+                        jnp.where(nbr_out[None], leaked, g2[:, io]))
+                    recv = jnp.logical_and(
+                        ~dom, _shift(dom, -dx, -dy, -dz))
+                    g2 = g2.at[:, i].set(
+                        jnp.where(recv[None], 0.0, g2[:, i]))
+            return s2, g2
+    elif compressed:
         def step(s):
             if bc_prologue:
                 s = _bc_prologue_c(s)

@@ -71,3 +71,39 @@ def test_single3d_fused_matches_jnp(collision, force, t_block):
         c = fused(c)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_coupled3d_fused_matches_jnp():
+    """Fused coupled 3D step (compressed flow + in-window D3Q7 tracer +
+    interface-bounce-back epilogue) matches TransportRK3D._step_impl."""
+    from openlbmpm_tpu.models.flow3d import (CG3DBoundaryConfig,
+                                             ColorGradientParams3D,
+                                             TransportRK3D)
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    fp = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0, tau_b=0.8,
+                               contact_angle_deg=60.0)
+    m = TransportRK3D(geo.from_solid_mask(solid), fp, num_tracers=1,
+                      tau=(1.0,), j0=(0.25,),
+                      interface_mode="bounceback", dtype=jnp.float64)
+    # open z faces: velocity inlet + convective outlet (BC prologue path)
+    m.flow.bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                                    inlet_velocity=-1e-3)
+    fused = m.make_fused_step(slabs_per_block=4, interpret=True)
+    assert fused is not None
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_slabs=6)
+    conc0 = np.zeros((1, n, n, n))
+    conc0[0, 2:6] = 1.0
+    state = m.init_state(fs, conc0)
+    s = m.flow.pack_state(state[0], state[1])
+    g = state[2]
+    for _ in range(4):
+        state = m._step_impl(state)
+        s, g = fused(s, g)
+    ref_s = m.flow.pack_state(state[0], state[1])
+    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(s),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state[2]), np.asarray(g),
+                               rtol=0, atol=1e-12)
