@@ -33,7 +33,7 @@ from ..geometry import Geometry
 from ..lattice import D2Q9
 from .csf import _rollx, _rolly, _sh
 
-__all__ = ["build_sc_fused_step"]
+__all__ = ["build_sc_fused_step", "build_sc_sharded_step"]
 
 _E = D2Q9.e
 _W = D2Q9.w
@@ -49,18 +49,68 @@ def _halo_rows(steps_per_call: int, rings: int = 2, radius: int = 1) -> int:
     return ((need + 7) // 8) * 8
 
 
+def _sc_geo_stack(geometry: Geometry, params) -> np.ndarray:
+    """Static geometry channels.
+
+    SC: [is_fluid, adhesion_x, adhesion_y] with D2Q9 weights
+    (``OptimizedD2Q9GPU.py:209-312``).
+    EFS: [is_fluid, fluid_vec_x, fluid_vec_y, adh_st_x, adh_st_y] with the
+    iso-stencil weights (``ExplicitD2Q9GPU.py`` schemes): fluid_vec is the
+    difference-form correction sum_dir(fluid) w e, adh_st the
+    solid-adsorption sum."""
+    is_efs = params.scheme == "EFS"
+    iso = int(getattr(params, "iso_order", 4)) if is_efs else 4
+    solid = geometry.is_solid.astype(np.float64)
+    fluid = geometry.is_fluid.astype(np.float64)
+    if is_efs:
+        from ..lattice import ISO_STENCILS
+        st = ISO_STENCILS[iso]
+        offsets = [(int(o[0]), int(o[1])) for o in st.offsets]
+        st_w = [float(w) for w in st.weights]
+        fvx = np.zeros_like(solid)
+        fvy = np.zeros_like(solid)
+        asx = np.zeros_like(solid)
+        asy = np.zeros_like(solid)
+        for (dx, dy), w in zip(offsets, st_w):
+            sf = np.roll(np.roll(fluid, -dy, 0), -dx, 1)
+            ss = np.roll(np.roll(solid, -dy, 0), -dx, 1)
+            fvx += w * dx * sf
+            fvy += w * dy * sf
+            asx += w * dx * ss
+            asy += w * dy * ss
+        return np.stack([fluid, fvx, fvy, asx, asy])
+    adx = np.zeros_like(solid)
+    ady = np.zeros_like(solid)
+    for i in range(1, 9):
+        dx, dy = int(_E[i, 0]), int(_E[i, 1])
+        s = np.roll(np.roll(solid, -dy, 0), -dx, 1)
+        adx += float(_W[i]) * dx * s
+        ady += float(_W[i]) * dy * s
+    return np.stack([fluid, adx, ady])
+
+
 def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         rows_per_block: int | None = None,
                         steps_per_call: int = 1,
                         bc_config=None,
+                        local_ny: int | None = None,
                         interpret: bool = False):
     """Build ``f (K, 9, ny, nx) -> f'`` for the Shan-Chen family: original
     SC or explicit-forcing EFS (iso 4/8/10), SRT or constant-matrix MRT,
     psi = rho or Peng-Robinson EOS.  Returns None only when the domain
-    does not strip-decompose or a BC kind is unsupported in-kernel."""
+    does not strip-decompose or a BC kind is unsupported in-kernel.
+
+    ``local_ny`` builds the per-shard kernel for a y-decomposed domain
+    (``build_sc_sharded_step``): the call takes the local (K, 9,
+    local_ny, nx) block, per-fluid H-row halo slabs from the ring
+    neighbors, matching geometry slabs, and the shard's global row
+    offset (scalar-prefetched so BC rows resolve against global row
+    indices)."""
     is_efs = params.scheme == "EFS"
     is_pr = params.psi == "PR"
     ny, nx = geometry.shape
+    is_local = local_ny is not None
+    grid_ny = int(local_ny) if is_local else ny
     K = params.num_fluids
     T = int(steps_per_call)
     iso = int(getattr(params, "iso_order", 4)) if is_efs else 4
@@ -74,18 +124,18 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         planes = 30 + 30 * K * T * (2 if is_efs else 1)
         budget = 110.0 * 2**20
         for r in (256, 128, 64, 32, 16, 8):
-            if ny % r == 0 and r % H == 0 and \
+            if grid_ny % r == 0 and r % H == 0 and \
                     planes * (r + 2 * H) * nx * 4 <= budget:
                 rows_per_block = r
                 break
         else:
             return None
     R = rows_per_block
-    if not R or ny % R or R % H:
+    if not R or grid_ny % R or R % H:
         return None
     W = R + 2 * H
-    nb = ny // R
-    hb = ny // H
+    nb = grid_ny // R
+    hb = grid_ny // H
 
     inlet_kind = getattr(bc_config, "inlet", "periodic")
     outlet_kind = getattr(bc_config, "outlet", "periodic")
@@ -124,41 +174,7 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     g_sol = np.asarray(params.g_solid, np.float64)
     bfx, bfy = (float(v) for v in params.body_force)
 
-    # static geometry channels.
-    # SC: [is_fluid, adhesion_x, adhesion_y] with D2Q9 weights
-    #     (``OptimizedD2Q9GPU.py:209-312``).
-    # EFS: [is_fluid, fluid_vec_x, fluid_vec_y, adh_st_x, adh_st_y] with the
-    #     iso-stencil weights (``ExplicitD2Q9GPU.py`` schemes): fluid_vec is
-    #     the difference-form correction sum_dir(fluid) w e, adh_st the
-    #     solid-adsorption sum.
-    solid = geometry.is_solid.astype(np.float64)
-    fluid = geometry.is_fluid.astype(np.float64)
-    if is_efs:
-        from ..lattice import ISO_STENCILS
-        st = ISO_STENCILS[iso]
-        offsets = [(int(o[0]), int(o[1])) for o in st.offsets]
-        st_w = [float(w) for w in st.weights]
-        fvx = np.zeros_like(solid)
-        fvy = np.zeros_like(solid)
-        asx = np.zeros_like(solid)
-        asy = np.zeros_like(solid)
-        for (dx, dy), w in zip(offsets, st_w):
-            sf = np.roll(np.roll(fluid, -dy, 0), -dx, 1)
-            ss = np.roll(np.roll(solid, -dy, 0), -dx, 1)
-            fvx += w * dx * sf
-            fvy += w * dy * sf
-            asx += w * dx * ss
-            asy += w * dy * ss
-        geo_np = np.stack([fluid, fvx, fvy, asx, asy])
-    else:
-        adx = np.zeros_like(solid)
-        ady = np.zeros_like(solid)
-        for i in range(1, 9):
-            dx, dy = int(_E[i, 0]), int(_E[i, 1])
-            s = np.roll(np.roll(solid, -dy, 0), -dx, 1)
-            adx += float(_W[i]) * dx * s
-            ady += float(_W[i]) * dy * s
-        geo_np = np.stack([fluid, adx, ady])
+    geo_np = _sc_geo_stack(geometry, params)
     n_geo = geo_np.shape[0]
     geo_dev = jnp.asarray(geo_np, dtype)
 
@@ -281,9 +297,11 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     if is_efs:
         # isotropy weights depend only on (|dx|, |dy|): build the lookup
         # once for the separable stencil evaluation below
+        from ..lattice import ISO_STENCILS
+        _st = ISO_STENCILS[iso]
         _wmap = {}
-        for (dx_, dy_), w_ in zip(offsets, st_w):
-            _wmap[(abs(dx_), abs(dy_))] = float(w_)
+        for _o, _w in zip(_st.offsets, _st.weights):
+            _wmap[(abs(int(_o[0])), abs(int(_o[1])))] = float(_w)
 
     def _iso_sums(a, wmap, r):
         """(vx, vy) of the separable iso-stencil Σ_d w(|d|²) d a(x+d):
@@ -527,21 +545,44 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         if use_scratch:
             _scr_cell[:] = [refs[-1]]
             refs = refs[:-1]
-        # refs: K fields x (c, u, d) + geo (c, u, d) + K outputs
-        f_refs = refs[:3 * K]
-        g_c, g_u, g_d = refs[3 * K:3 * K + 3]
-        out_refs = refs[3 * K + 3:]
-        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        row0_ref = None
+        if is_local:
+            # scalar-prefetched global row offset, K x (c, u, d), the
+            # ppermuted per-fluid edge slabs, wrapped geo + its edge slabs
+            row0_ref = refs[0]
+            f_refs = refs[1:1 + 3 * K]
+            slab_refs = refs[1 + 3 * K:1 + 5 * K]
+            g_c, g_u, g_d, gup_sl, gdn_sl = refs[1 + 5 * K:1 + 5 * K + 5]
+            out_refs = refs[1 + 5 * K + 5:]
+            i0 = pl.program_id(0)
+            first = i0 == 0
+            last = i0 == nb - 1
+            g_u = jnp.where(first, gup_sl[:], g_u[:])
+            g_d = jnp.where(last, gdn_sl[:], g_d[:])
+        else:
+            # refs: K fields x (c, u, d) + geo (c, u, d) + K outputs
+            f_refs = refs[:3 * K]
+            g_c, g_u, g_d = refs[3 * K:3 * K + 3]
+            out_refs = refs[3 * K + 3:]
+            geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        if is_local:
+            geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
         fl = geo[0]
         f = []
         for k in range(K):
             c, u, d = f_refs[3 * k:3 * k + 3]
-            win = jnp.concatenate([u[:], c[:], d[:]], axis=1)
+            u = u[:]
+            d = d[:]
+            if is_local:
+                u = jnp.where(first, slab_refs[2 * k][:], u)
+                d = jnp.where(last, slab_refs[2 * k + 1][:], d)
+            win = jnp.concatenate([u, c[:], d], axis=1)
             f.append([win[i] for i in range(9)])
         rows_g = row0_g = None
         if T > 1 or has_bcs:
             i0 = pl.program_id(0)
-            row0_g = i0 * R - H
+            off = row0_ref[0] if is_local else 0
+            row0_g = off + i0 * R - H
             if not bc_sliced:
                 r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
                 rows_g = (row0_g + r_iota) % ny
@@ -584,6 +625,59 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     gd = pl.BlockSpec((n_geo, H, nx),
                       lambda i: (0, (i * (R // H) + R // H) % hb, 0))
 
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024,
+        dimension_semantics=("parallel",))
+    scratch_shapes = ([pltpu.VMEM((W, nx), dtype)] if use_scratch else [])
+
+    if is_local:
+        # under PrefetchScalarGridSpec every index_map also receives the
+        # scalar-prefetch ref (unused here)
+        center_l = pl.BlockSpec((9, R, nx), lambda i, s: (0, i, 0))
+        hu_l = pl.BlockSpec((9, H, nx),
+                            lambda i, s: (0, (i * (R // H) - 1) % hb, 0))
+        hd_l = pl.BlockSpec(
+            (9, H, nx), lambda i, s: (0, (i * (R // H) + R // H) % hb, 0))
+        slab = pl.BlockSpec((9, H, nx), lambda i, s: (0, 0, 0))
+        gc_l = pl.BlockSpec((n_geo, R, nx), lambda i, s: (0, i, 0))
+        gu_l = pl.BlockSpec((n_geo, H, nx),
+                            lambda i, s: (0, (i * (R // H) - 1) % hb, 0))
+        gd_l = pl.BlockSpec(
+            (n_geo, H, nx),
+            lambda i, s: (0, (i * (R // H) + R // H) % hb, 0))
+        gslab = pl.BlockSpec((n_geo, H, nx), lambda i, s: (0, 0, 0))
+        in_specs = [*([center_l, hu_l, hd_l] * K), *([slab, slab] * K),
+                    gc_l, gu_l, gd_l, gslab, gslab]
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb,),
+                in_specs=in_specs,
+                out_specs=tuple(
+                    pl.BlockSpec((9, R, nx), lambda i, s: (0, i, 0))
+                    for _ in range(K)),
+                scratch_shapes=tuple(scratch_shapes)),
+            out_shape=tuple(jax.ShapeDtypeStruct((9, grid_ny, nx), dtype)
+                            for _ in range(K)),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+
+        def step(f_loc, slabs, geo_loc, gup, gdn, row0):
+            """f_loc: (K, 9, local_ny, nx); slabs: per fluid (up, dn)."""
+            parts = []
+            for k in range(K):
+                parts.extend([f_loc[k]] * 3)
+            for k in range(K):
+                parts.extend(slabs[k])
+            outs = call(row0, *parts, geo_loc, geo_loc, geo_loc, gup, gdn)
+            return jnp.stack(outs)
+
+        step.halo_rows = H
+        step.defer_mask = _defer_ok
+        return step
+
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -592,11 +686,8 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         for _ in range(K)),
         out_shape=tuple(jax.ShapeDtypeStruct((9, ny, nx), dtype)
                         for _ in range(K)),
-        scratch_shapes=([pltpu.VMEM((W, nx), dtype)] if use_scratch
-                        else []),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-            dimension_semantics=("parallel",)),
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )
 
@@ -609,4 +700,76 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return jnp.stack(outs)
 
     step.defer_mask = _defer_ok
+    return step
+
+
+def build_sc_sharded_step(geometry: Geometry, params, mesh,
+                          dtype=jnp.float32,
+                          rows_per_block: int | None = None,
+                          steps_per_call: int = 1,
+                          bc_config=None,
+                          interpret: bool = False):
+    """Fused Shan-Chen/EFS step under a y-sharded mesh (the SC sibling of
+    ``csf.build_csf_sharded_step``): per call each shard exchanges H halo
+    rows of every fluid's PDFs and the static geometry with its ring
+    neighbors via ``lax.ppermute`` over ICI, then runs the local kernel;
+    BC rows resolve against global row indices through a
+    scalar-prefetched shard offset.  Returns ``step(f) -> f'`` on the
+    globally sharded (K, 9, ny, nx) state, or None when the decomposition
+    does not apply."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    ny, nx = geometry.shape
+    K = params.num_fluids
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sh = axis_sizes.get("y", 1)
+    if axis_sizes.get("x", 1) != 1 or ny % n_sh:
+        return None
+    ny_loc = ny // n_sh
+    local = build_sc_fused_step(geometry, params, dtype, rows_per_block,
+                                steps_per_call, bc_config,
+                                local_ny=ny_loc, interpret=interpret)
+    if local is None:
+        return None
+    H = local.halo_rows
+
+    spec = P(None, None, "y", None)
+    gspec = P(None, "y", None)
+    geo_np = _sc_geo_stack(geometry, params)
+    geo = jax.device_put(jnp.asarray(geo_np, dtype),
+                         NamedSharding(mesh, gspec))
+    fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
+    bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+
+    def _local_step(f_loc, geo_loc):
+        def halo(x, axis_from_end):
+            up = lax.ppermute(
+                jax.lax.slice_in_dim(x, x.shape[axis_from_end] - H,
+                                     x.shape[axis_from_end],
+                                     axis=axis_from_end), "y", fwd)
+            dn = lax.ppermute(
+                jax.lax.slice_in_dim(x, 0, H, axis=axis_from_end),
+                "y", bwd)
+            return up, dn
+
+        slabs = []
+        for k in range(K):
+            up, dn = halo(f_loc[k], 1)
+            slabs.append((up, dn))
+        gup, gdn = halo(geo_loc, 1)
+        row0 = jnp.reshape(
+            (lax.axis_index("y") * ny_loc).astype(jnp.int32), (1,))
+        return local(f_loc, slabs, geo_loc, gup, gdn, row0)
+
+    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, gspec),
+                        out_specs=spec, check_vma=False)
+
+    def step(f):
+        return sharded(f, geo)
+
     return step

@@ -236,3 +236,46 @@ def test_cg3d_fused_sharded_equals_single():
         a = single(a)
         b = jax.jit(sharded)(b)
     assert float(jnp.max(jnp.abs(a - b))) < 3e-5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scheme", ["SC", "EFS"])
+def test_sc_fused_sharded_equals_single(scheme):
+    """The fused Shan-Chen/EFS kernel under shard_map on a 4-shard y-mesh
+    (ppermute halo slabs + scalar-prefetched global row offsets) matches
+    the single-device jnp step with full BC choreography."""
+    from openlbmpm_tpu.models.shanchen import (SCBoundaryConfig,
+                                               ShanChenMCMP,
+                                               ShanChenParams)
+    from openlbmpm_tpu.pallas.shanchen import build_sc_sharded_step
+
+    ny, nx = 64, 64
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = SCBoundaryConfig(inlet="zou_he_velocity", outlet="convective",
+                           inlet_velocity=(-1e-3, 0.0))
+    if scheme == "SC":
+        p = ShanChenParams(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                           g_solid=(-0.3, 0.3), tau=(1.0, 1.0))
+    else:
+        p = ShanChenParams(g_matrix=((0.0, 0.2), (0.2, 0.0)),
+                           g_solid=(-0.14, 0.14), tau=(1.0, 0.8),
+                           scheme="EFS", iso_order=8, collision="MRT")
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, bcs,
+                     dtype=jnp.float64, use_pallas=False)
+    mesh = make_mesh(shape=(4, 1))
+    step = build_sc_sharded_step(m.geo, p, mesh, jnp.float64,
+                                 rows_per_block=16, steps_per_call=2,
+                                 bc_config=bcs, interpret=True)
+    assert step is not None
+    f_ref = m.init_state_layers((1.0, 1.0), (0.02, 0.02), invading_rows=12)
+    f_sh = jax.device_put(f_ref, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "y", None)))
+    stepper = m._step_sc if scheme == "SC" else m._step_efs
+    for _ in range(4):
+        f_ref = stepper(f_ref)
+    jstep = jax.jit(step)
+    for _ in range(2):
+        f_sh = jstep(f_sh)
+    np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_sh),
+                               rtol=0, atol=1e-12)
