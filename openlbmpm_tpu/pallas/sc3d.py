@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..geometry import Geometry
 from ..lattice import D3Q19
 
-__all__ = ["build_sc3d_fused_step"]
+__all__ = ["build_sc3d_fused_step", "build_sc3d_sharded_step"]
 
 # opposite-direction pairs (e components are (x, y, z))
 _PAIRS3 = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
@@ -79,11 +79,18 @@ def geo_stack_sc3(geometry: Geometry) -> np.ndarray:
 def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           slabs_per_block: int | None = None,
                           steps_per_call: int = 1,
+                          local_nz: int | None = None,
                           interpret: bool = False):
     """Build the fused step ``f (K, 19, nz, ny, nx) -> f'`` advancing
     ``steps_per_call`` SC time steps per call.  Returns None when the
-    domain does not slab-decompose or VMEM would overflow."""
+    domain does not slab-decompose or VMEM would overflow.
+
+    ``local_nz`` builds the per-shard kernel for a z-decomposed domain
+    (``build_sc3d_sharded_step``): the call takes the local block,
+    per-fluid H-slab halos from the ring neighbors, and matching
+    geometry slabs (z is periodic — no global-offset plumbing)."""
     nz, ny, nx = geometry.shape
+    is_local = local_nz is not None
     lat = D3Q19
     e = lat.e
     w_lat = lat.w
@@ -99,17 +106,18 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return None  # 3D SC model is psi = rho (flow3d.ShanChenMCMP3D)
 
     need = 2 * T  # 2 halo slabs per sub-step: stencil ring + streaming
+    grid_nz = int(local_nz) if is_local else nz
 
     def _pick_h(r):
         for d in range(need, r + 1):
-            if r % d == 0 and nz % d == 0:
+            if r % d == 0 and grid_nz % d == 0:
                 return d
         return None
 
     n_state = Q * K
     if slabs_per_block is None:
         for r in (32, 16, 8, 4, 2):
-            if nz % r:
+            if grid_nz % r:
                 continue
             h = _pick_h(r)
             if h is None:
@@ -122,14 +130,14 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             return None
     R = slabs_per_block
-    if not R or nz % R:
+    if not R or grid_nz % R:
         return None
     H = _pick_h(R)
     if H is None:
         return None
     W = R + 2 * H
-    nb = nz // R
-    hb = nz // H
+    nb = grid_nz // R
+    hb = grid_nz // H
 
     geo_np = geo_stack_sc3(geometry)
     n_geo = geo_np.shape[0]
@@ -248,14 +256,30 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     def kernel(*refs):
         f_refs = refs[:3 * K]
-        g_c, g_u, g_d = refs[3 * K:3 * K + 3]
-        outs = refs[3 * K + 3:]
-        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        if is_local:
+            slab_refs = refs[3 * K:5 * K]
+            g_c, g_u, g_d, gup_sl, gdn_sl = refs[5 * K:5 * K + 5]
+            outs = refs[5 * K + 5:]
+            i0 = pl.program_id(0)
+            first = i0 == 0
+            last = i0 == nb - 1
+            g_u = jnp.where(first, gup_sl[:], g_u[:])
+            g_d = jnp.where(last, gdn_sl[:], g_d[:])
+            geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
+        else:
+            g_c, g_u, g_d = refs[3 * K:3 * K + 3]
+            outs = refs[3 * K + 3:]
+            geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
         solid = 1.0 - geo[0]
         f = []
         for k in range(K):
             c, u, d = f_refs[3 * k:3 * k + 3]
-            win = jnp.concatenate([u[:], c[:], d[:]], axis=1)
+            u = u[:]
+            d = d[:]
+            if is_local:
+                u = jnp.where(first, slab_refs[2 * k][:], u)
+                d = jnp.where(last, slab_refs[2 * k + 1][:], d)
+            win = jnp.concatenate([u, c[:], d], axis=1)
             f.append([win[i] for i in range(Q)])
         for t in range(T):
             base = 2 * t
@@ -285,19 +309,41 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     gd = pl.BlockSpec((n_geo, H, ny, nx),
                       lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
 
+    in_specs = [*([center, halo_up, halo_dn] * K)]
+    if is_local:
+        slab = pl.BlockSpec((Q, H, ny, nx), lambda i: (0, 0, 0, 0))
+        gslab = pl.BlockSpec((n_geo, H, ny, nx), lambda i: (0, 0, 0, 0))
+        in_specs += [*([slab, slab] * K), gc, gu, gd, gslab, gslab]
+    else:
+        in_specs += [gc, gu, gd]
+
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[*([center, halo_up, halo_dn] * K), gc, gu, gd],
+        in_specs=in_specs,
         out_specs=tuple(pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0))
                         for _ in range(K)),
-        out_shape=tuple(jax.ShapeDtypeStruct((Q, nz, ny, nx), dtype)
+        out_shape=tuple(jax.ShapeDtypeStruct((Q, grid_nz, ny, nx), dtype)
                         for _ in range(K)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )
+
+    if is_local:
+        def step(f_loc, slabs, geo_loc, gup, gdn):
+            """f_loc: (K, 19, local_nz, ny, nx); slabs per fluid."""
+            parts = []
+            for k in range(K):
+                parts.extend([f_loc[k]] * 3)
+            for k in range(K):
+                parts.extend(slabs[k])
+            outs = call(*parts, geo_loc, geo_loc, geo_loc, gup, gdn)
+            return jnp.stack(outs)
+
+        step.halo_slabs = H
+        return step
 
     def step(f):
         """f: (K, 19, nz, ny, nx) -> same."""
@@ -306,5 +352,68 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             parts.extend([f[k]] * 3)
         outs = call(*parts, geo_dev, geo_dev, geo_dev)
         return jnp.stack(outs)
+
+    return step
+
+
+def build_sc3d_sharded_step(geometry: Geometry, params, mesh,
+                            dtype=jnp.float32,
+                            slabs_per_block: int | None = None,
+                            steps_per_call: int = 1,
+                            interpret: bool = False):
+    """Fused D3Q19 SC step under a z-sharded mesh: per call each shard
+    exchanges H halo slabs of every fluid's PDFs and the static geometry
+    with its ring neighbors via ``lax.ppermute`` over ICI, then runs the
+    local periodic kernel.  Returns ``step(f) -> f'`` on the globally
+    sharded (K, 19, nz, ny, nx) state, or None when the decomposition
+    does not apply."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    nz, ny, nx = geometry.shape
+    K = params.num_fluids
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sh = axis_sizes.get("y", 1)
+    if axis_sizes.get("x", 1) != 1 or nz % n_sh:
+        return None
+    nz_loc = nz // n_sh
+    local = build_sc3d_fused_step(geometry, params, dtype, slabs_per_block,
+                                  steps_per_call, local_nz=nz_loc,
+                                  interpret=interpret)
+    if local is None:
+        return None
+    H = local.halo_slabs
+
+    spec = P(None, None, "y", None, None)
+    gspec = P(None, "y", None, None)
+    geo = jax.device_put(jnp.asarray(geo_stack_sc3(geometry), dtype),
+                         NamedSharding(mesh, gspec))
+    fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
+    bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+
+    def _local_step(f_loc, geo_loc):
+        def halo(x, ax):
+            up = lax.ppermute(
+                jax.lax.slice_in_dim(x, x.shape[ax] - H, x.shape[ax],
+                                     axis=ax), "y", fwd)
+            dn = lax.ppermute(jax.lax.slice_in_dim(x, 0, H, axis=ax),
+                              "y", bwd)
+            return up, dn
+
+        slabs = []
+        for k in range(K):
+            slabs.append(halo(f_loc[k], 1))
+        gup, gdn = halo(geo_loc, 1)
+        return local(f_loc, slabs, geo_loc, gup, gdn)
+
+    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, gspec),
+                        out_specs=spec, check_vma=False)
+
+    def step(f):
+        return sharded(f, geo)
 
     return step

@@ -279,3 +279,35 @@ def test_sc_fused_sharded_equals_single(scheme):
         f_sh = jstep(f_sh)
     np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_sh),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_sc3d_fused_sharded_equals_single():
+    """The fused D3Q19 SC kernel under shard_map on a 4-shard z-mesh
+    (ppermute halo slabs) matches the single-device jnp step."""
+    from openlbmpm_tpu.models.flow3d import (ShanChenMCMP3D,
+                                             ShanChenParams3D)
+    from openlbmpm_tpu.pallas.sc3d import build_sc3d_sharded_step
+
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    p = ShanChenParams3D(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                         g_solid=(-0.3, 0.3), tau=(1.0, 0.8),
+                         body_force=(0.0, 0.0, -1e-5))
+    m = ShanChenMCMP3D(geo.from_solid_mask(solid), p, dtype=jnp.float64,
+                       use_pallas=False)
+    mesh = make_mesh(shape=(4, 1))
+    step = build_sc3d_sharded_step(m.geo, p, mesh, jnp.float64,
+                                   slabs_per_block=4, interpret=True)
+    assert step is not None
+    f_ref = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=5.0)
+    f_sh = jax.device_put(f_ref, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "y", None, None)))
+    for _ in range(3):
+        f_ref = m._step_impl(f_ref)
+    jstep = jax.jit(step)
+    for _ in range(3):
+        f_sh = jstep(f_sh)
+    np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_sh),
+                               rtol=0, atol=1e-12)
