@@ -28,7 +28,7 @@ from ..geometry import Geometry
 from ..lattice import D2Q9
 from .csf import _rolly, _sh
 
-__all__ = ["build_single_phase_fused_step"]
+__all__ = ["build_single_phase_fused_step", "build_single_sharded_step"]
 
 _E = D2Q9.e
 _W = D2Q9.w
@@ -47,11 +47,18 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
                                   dtype=jnp.float32,
                                   rows_per_block: int | None = None,
                                   steps_per_call: int = 1,
+                                  local_ny: int | None = None,
                                   interpret: bool = False):
     """Build ``f (9, ny, nx) -> f'`` advancing `steps_per_call` single-phase
     time steps per call.  Returns None when the domain does not
-    strip-decompose or a BC kind is unsupported in-kernel."""
+    strip-decompose or a BC kind is unsupported in-kernel.
+
+    ``local_ny`` builds the per-shard kernel for a y-decomposed domain
+    (``build_single_sharded_step``): halo slabs + a scalar-prefetched
+    global row offset, as pallas/shanchen.py."""
     ny, nx = geometry.shape
+    is_local = local_ny is not None
+    grid_ny = int(local_ny) if is_local else ny
     T = int(steps_per_call)
     H = _halo_rows(T)
     if rows_per_block is None:
@@ -60,18 +67,18 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
         planes = 30 + 30 * T
         budget = 110.0 * 2**20
         for r in (256, 128, 64, 32, 16, 8):
-            if ny % r == 0 and r % H == 0 and \
+            if grid_ny % r == 0 and r % H == 0 and \
                     planes * (r + 2 * H) * nx * 4 <= budget:
                 rows_per_block = r
                 break
         else:
             return None
     R = rows_per_block
-    if not R or ny % R or R % H:
+    if not R or grid_ny % R or R % H:
         return None
     W = R + 2 * H
-    nb = ny // R
-    hb = ny // H
+    nb = grid_ny // R
+    hb = grid_ny // H
 
     inlet_kind = getattr(bc_config, "inlet", "periodic")
     outlet_kind = getattr(bc_config, "outlet", "periodic")
@@ -313,15 +320,30 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
         if use_scratch:
             _scr_cell[:] = [refs[-1]]
             refs = refs[:-1]
-        f_c, f_u, f_d, g_c, g_u, g_d, out = refs
-        geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+        row0_ref = None
+        if is_local:
+            (row0_ref, f_c, f_u, f_d, up_sl, dn_sl,
+             g_c, g_u, g_d, gup_sl, gdn_sl, out) = refs
+            i0 = pl.program_id(0)
+            first = i0 == 0
+            last = i0 == nb - 1
+            f_u = jnp.where(first, up_sl[:], f_u[:])
+            f_d = jnp.where(last, dn_sl[:], f_d[:])
+            g_u = jnp.where(first, gup_sl[:], g_u[:])
+            g_d = jnp.where(last, gdn_sl[:], g_d[:])
+            geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
+            win = jnp.concatenate([f_u, f_c[:], f_d], axis=1)
+        else:
+            f_c, f_u, f_d, g_c, g_u, g_d, out = refs
+            geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
+            win = jnp.concatenate([f_u[:], f_c[:], f_d[:]], axis=1)
         fl = geo[0]
-        win = jnp.concatenate([f_u[:], f_c[:], f_d[:]], axis=1)
         f = [win[i] for i in range(9)]
         rows_g = row0_g = None
         if has_bcs:
             i0 = pl.program_id(0)
-            row0_g = i0 * R - H
+            off = row0_ref[0] if is_local else 0
+            row0_g = off + i0 * R - H
             if not bc_sliced:
                 r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
                 rows_g = (row0_g + r_iota) % ny
@@ -349,17 +371,54 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
     gd = pl.BlockSpec((1, H, nx),
                       lambda i: (0, (i * (R // H) + R // H) % hb, 0))
 
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=110 * 1024 * 1024,
+        dimension_semantics=("parallel",))
+    scratch_shapes = ([pltpu.VMEM((W, nx), dtype)] if use_scratch else [])
+
+    if is_local:
+        center_l = pl.BlockSpec((9, R, nx), lambda i, s: (0, i, 0))
+        hu_l = pl.BlockSpec((9, H, nx),
+                            lambda i, s: (0, (i * (R // H) - 1) % hb, 0))
+        hd_l = pl.BlockSpec(
+            (9, H, nx), lambda i, s: (0, (i * (R // H) + R // H) % hb, 0))
+        slab = pl.BlockSpec((9, H, nx), lambda i, s: (0, 0, 0))
+        gc_l = pl.BlockSpec((1, R, nx), lambda i, s: (0, i, 0))
+        gu_l = pl.BlockSpec((1, H, nx),
+                            lambda i, s: (0, (i * (R // H) - 1) % hb, 0))
+        gd_l = pl.BlockSpec(
+            (1, H, nx), lambda i, s: (0, (i * (R // H) + R // H) % hb, 0))
+        gslab = pl.BlockSpec((1, H, nx), lambda i, s: (0, 0, 0))
+        call = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb,),
+                in_specs=[center_l, hu_l, hd_l, slab, slab,
+                          gc_l, gu_l, gd_l, gslab, gslab],
+                out_specs=pl.BlockSpec((9, R, nx), lambda i, s: (0, i, 0)),
+                scratch_shapes=tuple(scratch_shapes)),
+            out_shape=jax.ShapeDtypeStruct((9, grid_ny, nx), dtype),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+
+        def step(f_loc, up, dn, geo_loc, gup, gdn, row0):
+            return call(row0, f_loc, f_loc, f_loc, up, dn,
+                        geo_loc, geo_loc, geo_loc, gup, gdn)
+
+        step.halo_rows = H
+        step.defer_mask = _defer_ok
+        return step
+
     call = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[center, halo_up, halo_dn, gc, gu, gd],
         out_specs=pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((9, ny, nx), dtype),
-        scratch_shapes=([pltpu.VMEM((W, nx), dtype)] if use_scratch
-                        else []),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
-            dimension_semantics=("parallel",)),
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )
 
@@ -368,4 +427,63 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
         return call(f, f, f, geo_dev, geo_dev, geo_dev)
 
     step.defer_mask = _defer_ok
+    return step
+
+
+def build_single_sharded_step(geometry: Geometry, tau: float,
+                              collision: str, body_force, mesh,
+                              bc_config=None, dtype=jnp.float32,
+                              rows_per_block: int | None = None,
+                              steps_per_call: int = 1,
+                              interpret: bool = False):
+    """Fused single-phase step under a y-sharded mesh (ppermute halo
+    rows + scalar-prefetched global BC row offsets).  Returns
+    ``step(f) -> f'`` on the globally sharded (9, ny, nx) state, or None
+    when the decomposition does not apply."""
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    ny, nx = geometry.shape
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_sh = axis_sizes.get("y", 1)
+    if axis_sizes.get("x", 1) != 1 or ny % n_sh:
+        return None
+    ny_loc = ny // n_sh
+    local = build_single_phase_fused_step(
+        geometry, tau, collision, body_force, bc_config, dtype,
+        rows_per_block, steps_per_call, local_ny=ny_loc,
+        interpret=interpret)
+    if local is None:
+        return None
+    H = local.halo_rows
+
+    spec = P(None, "y", None)
+    geo = jax.device_put(
+        jnp.asarray(geometry.is_fluid.astype(np.float64)[None], dtype),
+        NamedSharding(mesh, spec))
+    fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
+    bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+
+    def _local_step(f_loc, geo_loc):
+        def halo(x):
+            up = lax.ppermute(x[:, -H:, :], "y", fwd)
+            dn = lax.ppermute(x[:, :H, :], "y", bwd)
+            return up, dn
+
+        up, dn = halo(f_loc)
+        gup, gdn = halo(geo_loc)
+        row0 = jnp.reshape(
+            (lax.axis_index("y") * ny_loc).astype(jnp.int32), (1,))
+        return local(f_loc, up, dn, geo_loc, gup, gdn, row0)
+
+    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
+                        out_specs=spec, check_vma=False)
+
+    def step(f):
+        return sharded(f, geo)
+
     return step

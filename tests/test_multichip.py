@@ -311,3 +311,37 @@ def test_sc3d_fused_sharded_equals_single():
         f_sh = jstep(f_sh)
     np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_sh),
                                rtol=0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_single_fused_sharded_equals_single():
+    """The fused single-phase kernel under shard_map on a 4-shard y-mesh
+    matches the single-device jnp step (Zou-He + convective BCs)."""
+    from openlbmpm_tpu.models.single_phase import (BoundaryConfig,
+                                                   SinglePhaseD2Q9)
+    from openlbmpm_tpu.pallas.single import build_single_sharded_step
+
+    ny, nx = 64, 64
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = BoundaryConfig(inlet="zou_he_velocity", outlet="convective",
+                         inlet_velocity=-1e-3)
+    m = SinglePhaseD2Q9(geo.from_solid_mask(solid), tau=0.8,
+                        collision="MRT", boundaries=bcs,
+                        dtype=jnp.float64)
+    mesh = make_mesh(shape=(4, 1))
+    step = build_single_sharded_step(m.geo, 0.8, "MRT", (0.0, 0.0), mesh,
+                                     bc_config=bcs, dtype=jnp.float64,
+                                     rows_per_block=16, steps_per_call=2,
+                                     interpret=True)
+    assert step is not None
+    f_ref = m.init_state()
+    f_sh = jax.device_put(f_ref, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "y", None)))
+    for _ in range(4):
+        f_ref = m._step_impl(f_ref)
+    jstep = jax.jit(step)
+    for _ in range(2):
+        f_sh = jstep(f_sh)
+    np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_sh),
+                               rtol=0, atol=1e-12)
