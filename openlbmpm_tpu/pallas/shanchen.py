@@ -180,8 +180,8 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     if params.collision == "MRT":
         from ..ops.collision import mrt_relaxation_d2q9_sc
-        mrt_c = [D2Q9.M_inv @ (np.diag(mrt_relaxation_d2q9_sc(t)) @ D2Q9.M)
-                 for t in tau]
+        _s_sc = mrt_relaxation_d2q9_sc(1.0)
+        assert not _s_sc[[0, 3, 5]].any()  # conserved moments skipped below
 
     if is_pr:
         prp = dict(params.pr_params)
@@ -222,6 +222,83 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             feq[i] = a + b
             feq[io] = a - b
         return feq, eu
+
+    def _moments6(g):
+        """Non-conserved Gram-Schmidt moments (m1, m2, m4, m6, m7, m8) of a
+        9-plane list via shared partial sums (the flagship's
+        ``csf._collide_total`` transform)."""
+        s1p = g[1] + g[3]
+        d1 = g[1] - g[3]
+        s2p = g[2] + g[4]
+        d2 = g[2] - g[4]
+        sA = g[5] + g[7]
+        p_ = g[5] - g[7]
+        sB = g[6] + g[8]
+        q_ = g[6] - g[8]
+        S_ = s1p + s2p
+        D_ = sA + sB
+        g04 = 4.0 * g[0]
+        return (2.0 * D_ - S_ - g04, D_ - 2.0 * S_ + g04,
+                (p_ - q_) - 2.0 * d1, (p_ + q_) - 2.0 * d2,
+                s1p - s2p, sA - sB)
+
+    def _mrt_moment_post(fk, rho_k, ux, uy, inv_t, ff=None):
+        """Moment-space MRT collision for the SC family: post_i = f_i
+        [+ ff_i] − (M⁻¹ S (m(f) − m_eq(ρ,u) [+ m(ff)/2]))_i, with the SC
+        relaxation vector (s1=0.6, s2=1.5, s4=s6=1.2, s7=s8=1/τ_k;
+        ``mrt_relaxation_d2q9_sc``, mirrors ``ShanChenD2Q9.py:484-498``).
+        Closed-form equilibrium moments replace the per-direction feq, and
+        the sparse-coefficient inverse transform replaces the dense
+        9×9 M⁻¹SM apply (~2x fewer VPU ops, as in ``csf._collide_total``)."""
+        m1, m2, m4, m6, m7, m8 = _moments6(fk)
+        uu = ux * ux + uy * uy
+        r3u2 = (3.0 * rho_k) * uu
+        rux = rho_k * ux
+        ruy = rho_k * uy
+        d1 = m1 + 2.0 * rho_k - r3u2
+        d2 = m2 - rho_k + r3u2
+        d4 = m4 + rux
+        d6 = m6 + ruy
+        d7 = m7 - (rux * ux - ruy * uy)
+        d8 = m8 - rux * uy
+        if ff is not None:
+            h1, h2, h4, h6, h7, h8 = _moments6(ff)
+            d1 = d1 + 0.5 * h1
+            d2 = d2 + 0.5 * h2
+            d4 = d4 + 0.5 * h4
+            d6 = d6 + 0.5 * h6
+            d7 = d7 + 0.5 * h7
+            d8 = d8 + 0.5 * h8
+        md1 = float(_s_sc[1]) * d1
+        md2 = float(_s_sc[2]) * d2
+        md4 = float(_s_sc[4]) * d4
+        md6 = float(_s_sc[6]) * d6
+        md7 = inv_t * d7
+        md8 = inv_t * d8
+        A_ = (md1 + 2.0 * md2) * (-1.0 / 36.0)
+        B_ = (2.0 * md1 + md2) * (1.0 / 36.0)
+        t4 = md4 * (1.0 / 6.0)
+        t6 = md6 * (1.0 / 6.0)
+        t7 = md7 * 0.25
+        t8 = md8 * 0.25
+        up = 0.5 * (t4 + t6)
+        vp = 0.5 * (t4 - t6)
+        At7 = A_ + t7
+        Am7 = A_ - t7
+        Bp = B_ + t8
+        Bm = B_ - t8
+        base = fk if ff is None else [fk[i] + ff[i] for i in range(9)]
+        post = [None] * 9
+        post[0] = base[0] - (md2 - md1) * (1.0 / 9.0)
+        post[1] = base[1] - (At7 - t4)
+        post[3] = base[3] - (At7 + t4)
+        post[2] = base[2] - (Am7 - t6)
+        post[4] = base[4] - (Am7 + t6)
+        post[5] = base[5] - (Bp + up)
+        post[7] = base[7] - (Bp - up)
+        post[6] = base[6] - (Bm - vp)
+        post[8] = base[8] - (Bm + vp)
+        return post
 
     def _apply_inlet_window(f, fl, rows_g, w=None):
         """f: list over K of lists over 9 planes.  BC row sits `radius`
@@ -401,23 +478,14 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             for i, io in _PAIRS9:
                 ff[i] = (ef[i] - uf) * feq[i] * r3
                 ff[io] = (-ef[i] - uf) * feq[io] * r3
-            post = [None] * 9
             if params.collision == "SRT":
+                post = [None] * 9
                 for i in range(9):
                     post[i] = f[k][i] + \
                         (feq[i] - f[k][i] - 0.5 * ff[i]) * inv_t + ff[i]
             else:
-                # f' = f - C_k (f - (feq - ff/2)) + ff, C_k constant
-                dfk = [f[k][i] - feq[i] + 0.5 * ff[i] for i in range(9)]
-                C = mrt_c[k]
-                for i in range(9):
-                    acc = f[k][i] + ff[i]
-                    for b in range(9):
-                        c = float(C[i, b])
-                        if c == 0.0:
-                            continue
-                        acc = acc - (dfk[b] if c == 1.0 else c * dfk[b])
-                    post[i] = acc
+                # f' = f + ff - M^-1 S (m(f) - m_eq + m(ff)/2)
+                post = _mrt_moment_post(f[k], rho[k], ux, uy, inv_t, ff=ff)
             out[k][0] = post[0] * fl if final else post[0]
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])
@@ -482,22 +550,15 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             ux = upx + tau[k] * fx[k] / rho_safe[k]
             uy = upy + tau[k] * fy[k] / rho_safe[k]
             inv_t = 1.0 / tau[k]
-            feq, _ = _feq9(rho[k], ux, uy)
-            post = [None] * 9
             if params.collision == "MRT":
                 # moment relaxation toward feq(u_eq); forcing rides in the
-                # shifted equilibrium velocity (``ShanChenMCMP._step_sc``)
-                dfk = [f[k][i] - feq[i] for i in range(9)]
-                C = mrt_c[k]
-                for i in range(9):
-                    acc = f[k][i]
-                    for b in range(9):
-                        c = float(C[i, b])
-                        if c == 0.0:
-                            continue
-                        acc = acc - (dfk[b] if c == 1.0 else c * dfk[b])
-                    post[i] = acc
+                # shifted equilibrium velocity (``ShanChenMCMP._step_sc``).
+                # feq is never materialized per direction: closed-form
+                # equilibrium moments in _mrt_moment_post.
+                post = _mrt_moment_post(f[k], rho[k], ux, uy, inv_t)
             else:
+                feq, _ = _feq9(rho[k], ux, uy)
+                post = [None] * 9
                 for i in range(9):
                     post[i] = f[k][i] - (f[k][i] - feq[i]) * inv_t
             out[k][0] = post[0] * fl if final else post[0]
