@@ -124,7 +124,9 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 continue
             planes = (n_state + 12) * (r + 2 * h) + n_state * r
             mb = planes * ny * nx * 4 * 2.0 / 2**20
-            if mb <= 110:
+            # calibrated against the 126 MB scoped limit: K=2 at 128^3
+            # R=8/H=2 models 113 MB and compiles at ~121 MB actual
+            if mb <= 118:
                 slabs_per_block = r
                 break
         else:
@@ -326,7 +328,7 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_shape=tuple(jax.ShapeDtypeStruct((Q, grid_nz, ny, nx), dtype)
                         for _ in range(K)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )
