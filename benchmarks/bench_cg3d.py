@@ -42,7 +42,7 @@ def make_pore_png(path, n=128, n_grains=60, seed=7):
     return solid
 
 
-def run_bench(n=128, t_block=1, rows=8):
+def run_bench(n=128, t_block=1, rows=8, storage="f32"):
     import jax
     import jax.numpy as jnp
 
@@ -74,11 +74,12 @@ def run_bench(n=128, t_block=1, rows=8):
     fused = build_cg3d_fused_step(g, params, jnp.float32,
                                   slabs_per_block=rows,
                                   steps_per_call=t_block, bc_config=bcs,
-                                  state_mode="compressed")
+                                  state_mode="compressed", storage=storage)
     if fused is None:
         return {"error": "kernel does not decompose"}
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_slabs=16)
-    s = model.pack_state(f_r, f_b)
+    s = (model.pack_state_bf16(f_r, f_b) if storage == "bf16"
+         else model.pack_state(f_r, f_b))
 
     def steps(n_calls, s):
         return jax.lax.fori_loop(0, n_calls, lambda _, x: fused(x), s)
@@ -99,8 +100,8 @@ def run_bench(n=128, t_block=1, rows=8):
     finite = bool(jnp.isfinite(s).all())
     return {
         "config": f"5 D3Q19 CSF drainage, imaged pore structure {n}^3",
-        "metric": f"T={t_block}, R={rows}, compressed, velocity-in/"
-                  "convective-out",
+        "metric": f"T={t_block}, R={rows}, compressed ({storage}), "
+                  "velocity-in/convective-out",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "finite": finite,
@@ -108,10 +109,12 @@ def run_bench(n=128, t_block=1, rows=8):
     }
 
 
-def main(n=128, t_block=1, rows=8):
-    print(json.dumps(run_bench(n, t_block, rows)))
+def main(n=128, t_block=1, rows=8, storage="f32"):
+    print(json.dumps(run_bench(n, t_block, rows, storage)))
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
-    main(*(args or [128, 1, 8]))
+    args = sys.argv[1:]
+    storage = "bf16" if "bf16" in args else "f32"
+    nums = [int(a) for a in args if a not in ("bf16", "f32")]
+    main(*(nums or [128, 1, 8]), storage=storage)

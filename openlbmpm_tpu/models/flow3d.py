@@ -512,6 +512,26 @@ class ColorGradientRK3D:
         return jnp.concatenate([f_r + f_b,
                                 jnp.sum(f_r, axis=0)[None]], axis=0)
 
+    def pack_state_bf16(self, f_r, f_b):
+        """21-plane bfloat16 state for ``storage='bf16'``: shifted PDFs
+        ``f_total_i - w_i·fl`` (19) + rho_r as a bf16 hi/lo pair (2).
+        See pallas/cg3d.py build_cg3d_fused_step(storage='bf16')."""
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(-1, 1, 1, 1)
+        fdev = ((f_r + f_b) - w * self.fluid_mask[None]) \
+            .astype(jnp.bfloat16)
+        rho_r = jnp.sum(f_r, axis=0)
+        hi = rho_r.astype(jnp.bfloat16)
+        lo = (rho_r - hi.astype(self.dtype)).astype(jnp.bfloat16)
+        return jnp.concatenate([fdev, hi[None], lo[None]], axis=0)
+
+    def unpack_bf16(self, s):
+        """bf16 21-plane state -> f32 compressed 20-plane state."""
+        q = self.lat.q
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(-1, 1, 1, 1)
+        f_tot = s[:q].astype(self.dtype) + w * self.fluid_mask[None]
+        rho_r = s[q].astype(self.dtype) + s[q + 1].astype(self.dtype)
+        return jnp.concatenate([f_tot, rho_r[None]], axis=0)
+
     def color_force_fields(self, f_r, f_b):
         return self._fields_from_densities(_density3(f_r), _density3(f_b))
 
@@ -590,16 +610,19 @@ class ColorGradientRK3D:
         return rho_r, rho_b, phi, u
 
     def make_compressed_step(self, slabs_per_block: int | None = None,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             storage: str = "f32"):
         """Fused compressed step ``s -> s'`` on the 20-plane packed state
         (see ``pack_state``): 40 HBM plane-traffics per step instead of
-        the split path's 76.  Returns None when the domain does not
-        slab-decompose."""
+        the split path's 76.  ``storage='bf16'`` maps the 21-plane
+        ``pack_state_bf16`` state instead (~half the HBM traffic again;
+        opt-in, ~2e-3-relative storage rounding on the PDF deviations).
+        Returns None when the domain does not slab-decompose."""
         from ..pallas.cg3d import build_cg3d_fused_step
         return build_cg3d_fused_step(
             self.geo, self.p, self.dtype, slabs_per_block,
             steps_per_call=1, bc_config=self.bcs,
-            state_mode="compressed", interpret=interpret)
+            state_mode="compressed", storage=storage, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

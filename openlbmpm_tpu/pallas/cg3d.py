@@ -128,9 +128,21 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           state_mode: str = "split",
                           local_nz: int | None = None,
                           transport=None,
+                          storage: str = "f32",
                           interpret: bool = False):
     """Build the fused step for D3Q19 CSF: ``(f_r, f_b) -> (f_r', f_b')``
     (split) or ``s -> s'`` on the 20-plane compressed state.
+
+    ``storage="bf16"`` (compressed only): the HBM state is a 21-plane
+    bfloat16 array — 19 planes of *shifted* PDFs ``f_i - w_i·fl`` (the
+    FluidX3D-style FP16S memory-compression trick: the deviation from the
+    lattice weight carries the physics, so halving the mantissa costs
+    ~0.2% of the *deviation*, not of f itself) plus rho_r stored as a
+    bf16 hi/lo pair (exact to ~2^-17, so the phase field keeps f32-grade
+    precision).  All arithmetic stays f32 in VMEM; only HBM traffic
+    halves — which is the bound for this kernel (benchmarks/RESULTS.md).
+    Opt-in: total-density deviations below bf16 resolution (~2e-3
+    relative) are rounded away, so the f32 path remains the default.
 
     ``local_nz`` (compressed only) builds the per-shard kernel for a
     z-decomposed domain (``build_cg3d_sharded_step``): the call takes the
@@ -157,6 +169,9 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return None
     has_transport = transport is not None
     if has_transport and (not compressed or T != 1 or is_local):
+        return None
+    bf16 = storage == "bf16"
+    if bf16 and (not compressed or is_local or has_transport):
         return None
     if has_transport:
         NT = int(transport.num_tracers)
@@ -739,8 +754,14 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 s = jnp.concatenate([s_u, s_c[:], s_d], axis=1)
             else:
                 s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
-            ft = [s[i] for i in range(Q)]
-            rho_r = s[Q]
+            if bf16:
+                # unshift to f32 once per window; all physics below is f32
+                ft = [s[i].astype(dtype) + float(w_lat[i]) * flw
+                      for i in range(Q)]
+                rho_r = s[Q].astype(dtype) + s[Q + 1].astype(dtype)
+            else:
+                ft = [s[i] for i in range(Q)]
+                rho_r = s[Q]
             gtr = None
             if has_transport:
                 gw = jnp.concatenate([tr_u[:], tr_c[:], tr_d[:]], axis=1)
@@ -833,9 +854,19 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         o0 = H - lo
         if compressed:
             out_s = outs[0]
-            for i in range(Q):
-                out_s[i] = ft[i][o0:o0 + R]
-            out_s[Q] = rho_r[o0:o0 + R]
+            if bf16:
+                flo = flw[H:H + R]
+                for i in range(Q):
+                    out_s[i] = (ft[i][o0:o0 + R] -
+                                float(w_lat[i]) * flo).astype(jnp.bfloat16)
+                rc = rho_r[o0:o0 + R]
+                hi = rc.astype(jnp.bfloat16)
+                out_s[Q] = hi
+                out_s[Q + 1] = (rc - hi.astype(dtype)).astype(jnp.bfloat16)
+            else:
+                for i in range(Q):
+                    out_s[i] = ft[i][o0:o0 + R]
+                out_s[Q] = rho_r[o0:o0 + R]
             if has_transport:
                 out_g = outs[1]
                 for t in range(NT):
@@ -847,7 +878,8 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             out_r[i] = fr[i][o0:o0 + R]
             out_b[i] = fb[i][o0:o0 + R]
 
-    n_st = Q + 1 if compressed else Q
+    n_st = (Q + 2 if bf16 else Q + 1) if compressed else Q
+    st_dtype = jnp.bfloat16 if bf16 else dtype
     center = pl.BlockSpec((n_st, R, ny, nx), lambda i: (0, i, 0, 0))
     halo_up = pl.BlockSpec((n_st, H, ny, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0, 0))
@@ -871,7 +903,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         in_specs = [center, halo_up, halo_dn, gc, gu, gd]
         out_specs = (pl.BlockSpec((n_st, R, ny, nx),
                                   lambda i: (0, i, 0, 0)),)
-        out_shape = (jax.ShapeDtypeStruct((n_st, nz, ny, nx), dtype),)
+        out_shape = (jax.ShapeDtypeStruct((n_st, nz, ny, nx), st_dtype),)
         if has_transport:
             n_g = 7 * NT
             in_specs += [
@@ -1024,6 +1056,84 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             f_b = f_b.at[:, 0].set(jnp.where(mg, f_b[:, 1], f_b[:, 0]))
         return f_r, f_b
 
+    # bf16-storage T=1 prologue: identical slab math to _bc_prologue_c,
+    # on decode-slab / encode-slab accessors (only the 4-6 boundary slabs
+    # round-trip through f32, so the full-state traffic stays bf16).
+    wq_col = jnp.asarray(np.asarray(w_lat, np.float64), dtype) \
+        .reshape(Q, 1, 1)
+    fl_f = jnp.asarray(fl_np, dtype)
+
+    def _dec_slab(s, z):
+        ft_sl = s[:Q, z].astype(dtype) + wq_col * fl_f[z]
+        rr = s[Q, z].astype(dtype) + s[Q + 1, z].astype(dtype)
+        return ft_sl, rr
+
+    def _enc_slab(s, z, ft_sl, rr):
+        s = s.at[:Q, z].set((ft_sl - wq_col * fl_f[z]).astype(jnp.bfloat16))
+        hi = rr.astype(jnp.bfloat16)
+        s = s.at[Q, z].set(hi)
+        s = s.at[Q + 1, z].set((rr - hi.astype(dtype)).astype(jnp.bfloat16))
+        return s
+
+    def _bc_prologue_c_bf16(s):
+        if inlet_kind == "velocity":
+            z = nz - 2
+            m = _slab_mask(z)
+            sl, rr = _dec_slab(s, z)
+            s0 = sum(sl[i] for i in _EZ_ZERO)
+            sp = sum(sl[i] for i in _EZ_PLUS)
+            rho = (s0 + 2.0 * sp) / (1.0 + inlet_vz)
+            feq = _feq_vz(rho, inlet_vz)
+            tot = jnp.sum(sl, axis=0)
+            ratio = rr / jnp.where(tot != 0, tot, 1.0)
+            dsum = None
+            new = sl
+            for i in _EZ_MINUS:
+                io = int(opp[i])
+                val = feq[i] + (sl[io] - feq[io])
+                dv = val - sl[i]
+                dsum = dv if dsum is None else dsum + dv
+                new = new.at[i].set(jnp.where(m, val, sl[i]))
+            rr = jnp.where(m, rr + ratio * dsum, rr)
+            s = _enc_slab(s, z, new, rr)
+            mg = _slab_mask(nz - 1)
+            gt, gr = _dec_slab(s, nz - 1)
+            s = _enc_slab(s, nz - 1,
+                          jnp.where(mg, new, gt), jnp.where(mg, rr, gr))
+        if outlet_kind == "convective":
+            for z in (2, 1, 0):
+                m = _slab_mask(z)
+                src_f, src_r = _dec_slab(s, z + 1)
+                dst_f, dst_r = _dec_slab(s, z)
+                s = _enc_slab(s, z, jnp.where(m, src_f, dst_f),
+                              jnp.where(m, src_r, dst_r))
+        elif outlet_kind == "dirichlet":
+            z = 1
+            m = _slab_mask(z)
+            sl, rr = _dec_slab(s, z)
+            s0 = sum(sl[i] for i in _EZ_ZERO)
+            sm_ = sum(sl[i] for i in _EZ_MINUS)
+            vz = 1.0 - (s0 + 2.0 * sm_) / outlet_rho
+            feq = _feq_vz(outlet_rho, vz)
+            tot = jnp.sum(sl, axis=0)
+            ratio = rr / jnp.where(tot != 0, tot, 1.0)
+            dsum = None
+            new = sl
+            for i in _EZ_PLUS:
+                io = int(opp[i])
+                val = feq[i] + (sl[io] - feq[io])
+                dv = val - sl[i]
+                dsum = dv if dsum is None else dsum + dv
+                new = new.at[i].set(jnp.where(m, val, sl[i]))
+            rr = jnp.where(m, rr + ratio * dsum, rr)
+            s = _enc_slab(s, z, new, rr)
+            mg = _slab_mask(0)
+            gt, gr = _dec_slab(s, 1)
+            dt_, dr_ = _dec_slab(s, 0)
+            s = _enc_slab(s, 0, jnp.where(mg, gt, dt_),
+                          jnp.where(mg, gr, dr_))
+        return s
+
     bc_prologue = has_bcs and not bc_in_kernel
     if is_local:
         def step(s_loc, up, dn, geo_loc, gup, gdn):
@@ -1061,9 +1171,11 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         jnp.where(recv[None], 0.0, g2[:, i]))
             return s2, g2
     elif compressed:
+        _prologue = _bc_prologue_c_bf16 if bf16 else _bc_prologue_c
+
         def step(s):
             if bc_prologue:
-                s = _bc_prologue_c(s)
+                s = _prologue(s)
             return call(s, s, s, geo_dev, geo_dev, geo_dev)[0]
     else:
         def step(f_r, f_b):

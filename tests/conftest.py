@@ -49,6 +49,7 @@ SLOW_TESTS = {
     "test_cg3d_fused_wetting",
     "test_cg3d_bc_fused_matches_jnp",
     "test_cg3d_compressed_matches_split",
+    "test_cg3d_bf16_storage_tracks_f32",
     "test_coupled_transport_mrt_fused_matches_jnp",
     "test_coupled_transport_d2q9_fused_matches_jnp",
     "test_coupled_transport_conserve_mass_fused_matches_jnp",

@@ -106,3 +106,48 @@ def test_cg3d_compressed_matches_split():
         s = fused_c(s)
     ref = m.pack_state(a, b)
     assert float(jnp.max(jnp.abs(ref - s))) < 1e-11
+
+
+def test_cg3d_bf16_storage_tracks_f32():
+    """bf16 shifted-PDF storage (storage='bf16') tracks the f32 compressed
+    trajectory: per-step divergence is bounded by the bf16 rounding of the
+    PDF *deviations* (~2e-3 relative to |f - w|, i.e. ~1e-4 absolute
+    here), and rho_r keeps hi/lo f32-grade precision."""
+    from openlbmpm_tpu.models.flow3d import CG3DBoundaryConfig
+    nz, n = 16, 16
+    solid = np.zeros((nz, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0)
+    bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                             inlet_velocity=-1e-3)
+    m = ColorGradientRK3D(geo.from_solid_mask(solid), params, bcs,
+                          dtype=jnp.float32, use_pallas=False)
+    fused_c = m.make_compressed_step(slabs_per_block=16, interpret=True)
+    fused_h = m.make_compressed_step(slabs_per_block=16, interpret=True,
+                                     storage="bf16")
+    assert fused_c is not None and fused_h is not None
+    a, b = m.init_state_layers(1.0, 1.0, invading_slabs=6)
+    s = m.pack_state(a, b)
+    h = m.pack_state_bf16(a, b)
+
+    # pack/unpack round-trip: deviation rounding only
+    rt = m.unpack_bf16(h)
+    assert float(jnp.max(jnp.abs(rt[:19] - s[:19]))) < 2e-3
+    assert float(jnp.max(jnp.abs(rt[19] - s[19]))) < 2e-5
+
+    for _ in range(3):
+        s = fused_c(s)
+        h = fused_h(h)
+    assert h.dtype == jnp.bfloat16 and h.shape[0] == 21
+    u = m.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    # PDF planes: bounded by accumulated deviation rounding
+    assert float(jnp.max(jnp.abs(u[:19] - s[:19]))) < 5e-3
+    # phase field: rho_r rides the hi/lo pair, so it only inherits the
+    # flow-field noise, not a direct 2e-3 storage rounding
+    assert float(jnp.max(jnp.abs(u[19] - s[19]))) < 2e-2
+    # red mass drift stays small relative to total red mass
+    mr_s = float(jnp.sum(s[19]))
+    mr_h = float(jnp.sum(u[19]))
+    assert abs(mr_h - mr_s) / mr_s < 1e-3
