@@ -252,7 +252,13 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     has_wetting = bool(wet_solid.any())
     geo_np = geo_stack3(geometry)
     n_geo = geo_np.shape[0]
-    geo_dev = jnp.asarray(geo_np, dtype)
+    # bf16 storage carries the geometry planes in bf16 too: the code plane
+    # values (1, 2, -den_inv) decode exactly at the 0.5/1.5 thresholds, and
+    # bf16 normals (~2e-3) are within the mode's storage tolerance.  Saves
+    # ~3 MB of VMEM window at 128^2 cross-sections - the difference between
+    # R=8 (halo amplification 2.0) and R=16 (1.5) fitting.
+    geo_dtype = jnp.bfloat16 if bf16 else dtype
+    geo_dev = jnp.asarray(geo_np, geo_dtype)
 
     theta = math.radians(params.contact_angle_deg)
     cos_t, sin_t = -math.cos(theta), math.sin(theta)  # Akai complement
@@ -741,13 +747,16 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # decode the packed code plane (geo_stack3) back to the logical
         # 6-channel view [fl, wet, nsx, nsy, nsz, den_inv]; these are
         # cheap full-window selects, static across the T sub-steps
-        code = geo[0]
-        one = jnp.asarray(1.0, code.dtype)
-        zero = jnp.asarray(0.0, code.dtype)
+        # decode in f32: comparisons on bf16 vectors trip a Mosaic i1
+        # relayout ("replicated in destination but not in source")
+        code = geo[0].astype(dtype)
+        one = jnp.asarray(1.0, dtype)
+        zero = jnp.asarray(0.0, dtype)
         flw = jnp.where(code > 0.5, one, zero)
         wetw = jnp.where(code > 1.5, one, zero)
         den_invw = jnp.maximum(-code, zero)
-        geo_d = [flw, wetw, geo[1], geo[2], geo[3], den_invw]
+        geo_d = [flw, wetw, geo[1].astype(dtype), geo[2].astype(dtype),
+                 geo[3].astype(dtype), den_invw]
         solid = 1.0 - flw
         if compressed:
             if is_local:
