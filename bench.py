@@ -49,10 +49,27 @@ def _wait_for_chip(max_wait_s: float = 1200.0) -> None:
         time.sleep(30.0)
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent compilation cache next to this file: the flagship
+    kernel's Mosaic compile is minutes-long at deep temporal blocks, but
+    identical across runs on this machine, so the second run starts in
+    seconds (verified to hit across processes over the axon tunnel)."""
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the cache config: compile every run
+
+
 def main():
     _wait_for_chip()
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache(jax)
 
     from openlbmpm_tpu import geometry as geo
     from openlbmpm_tpu.models.colorgradient import (
