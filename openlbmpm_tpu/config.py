@@ -208,11 +208,25 @@ def load_shanchen(main_path: str, physics_path: str | None = None):
                                default="periodic"))
     outlet = _bc_name(phys.text("BoundaryDefinition", "BoundaryTypeOutlet",
                                 default="periodic"))
+    # ``BoundaryMethod = 'Chang'`` switches the Dirichlet/Neumann rewrites
+    # to the Chang et al. 2009 corrector kernels
+    # (``ShanChenD2Q9.py:251,1498-1539``; keys documented in
+    # ``IniFiles/shanchen2D.ini:27-29``)
+    method = phys.text("BoundaryDefinition", "BoundaryMethod",
+                       default="ZouHe").lower()
+    if method == "chang":
+        inlet_map = {"neumann": "chang_velocity",
+                     "dirichlet": "chang_pressure", "periodic": "periodic"}
+        outlet_map = {"dirichlet": "chang_pressure",
+                      "convective": "convective", "periodic": "periodic"}
+    else:
+        inlet_map = {"neumann": "zou_he_velocity",
+                     "dirichlet": "zou_he_pressure", "periodic": "periodic"}
+        outlet_map = {"dirichlet": "zou_he_pressure",
+                      "convective": "convective", "periodic": "periodic"}
     bcs = SCBoundaryConfig(
-        inlet={"neumann": "zou_he_velocity", "dirichlet": "zou_he_pressure",
-               "periodic": "periodic"}.get(inlet, "periodic"),
-        outlet={"dirichlet": "zou_he_pressure", "convective": "convective",
-                "periodic": "periodic"}.get(outlet, "periodic"),
+        inlet=inlet_map.get(inlet, "periodic"),
+        outlet=outlet_map.get(outlet, "periodic"),
         inlet_velocity=phys.floats("VelocityBoundary", "velocityY",
                                    default="0.0"),
         inlet_density=phys.floats("PressureBoundary", "PressureInlet",

@@ -74,11 +74,27 @@ class ShanChenParams:
 
 @dataclasses.dataclass(frozen=True)
 class SCBoundaryConfig:
-    inlet: str = "periodic"    # periodic | zou_he_velocity | zou_he_pressure
-    outlet: str = "periodic"   # periodic | zou_he_pressure | convective
+    """Open-boundary selection for the SC/EFS run loops.
+
+    inlet:  periodic | zou_he_velocity | zou_he_pressure | chang_velocity
+            | chang_pressure
+    outlet: periodic | zou_he_pressure | convective | convective_true
+            | chang_pressure
+
+    The ``chang_*`` choices are the Chang et al. 2009 corrector BCs
+    (``OptimizedD2Q9GPU.py:1127-1265`` wired at ``ShanChenD2Q9.py:1496-1539``,
+    selected by ``BoundaryMethod = 'Chang'`` in the legacy INI): they rewrite
+    the unknown populations from both the post-stream PDFs and the PDFs saved
+    before the previous collision (``savePDFLastStep:70-78``), so the rewrite
+    happens at the *end* of the fused step, where the step's input state is
+    exactly the reference's saved ``fluidPDFold`` (see ``_step_sc``).
+    Original-SC scheme only, matching the reference run loop."""
+
+    inlet: str = "periodic"
+    outlet: str = "periodic"
     inlet_velocity: tuple = (0.0,)    # per fluid
-    inlet_density: tuple = (1.0,)     # per fluid
-    outlet_density: tuple = (1.0,)    # per fluid
+    inlet_density: tuple = (1.0,)     # per fluid (chang_pressure: total rho)
+    outlet_density: tuple = (1.0,)    # per fluid (chang_pressure: total rho)
 
 
 class ShanChenMCMP:
@@ -116,6 +132,12 @@ class ShanChenMCMP:
         # ``ExplicitD2Q9GPU.py:392-625``).
         self._bc_depth = ({4: 1, 8: 2, 10: 3}[params.iso_order]
                           if params.scheme == "EFS" else 1)
+        self._chang = (boundaries.inlet.startswith("chang") or
+                       boundaries.outlet.startswith("chang"))
+        if self._chang and params.scheme != "SC":
+            # the reference wires the Chang kernels only into the original-SC
+            # loop (``runOptimizedLBM``); the EFS loop is Zou-He-only
+            raise ValueError("Chang 2009 BCs require scheme='SC'")
         d = self._bc_depth
         rows = set(range(0, d + 3)) | {ny - 1 - k for k in range(d + 1)}
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
@@ -213,7 +235,16 @@ class ShanChenMCMP:
 
     # -- original Shan-Chen step ---------------------------------------
     def _step_sc(self, f):
-        f = self._apply_inlet(f)
+        # Chang mode: the corrector BC moves to the end of the step.  In the
+        # reference loop the Chang rewrite opens iteration n+1 using the
+        # PDFs saved after iteration n's BC phase (``savePDFLastStep``,
+        # ``ShanChenD2Q9.py:1540``); rotating the step boundary to
+        # [collide, stream, outlet, Chang+ghosts] makes the step's *input*
+        # state that saved PDF, so no extra carried buffer is needed.  The
+        # only deviation: the reference's very first iteration applies the
+        # BC once to the raw initial state (DEVIATIONS.md).
+        if not self._chang:
+            f = self._apply_inlet(f)
         f_old = f  # pre-collision PDFs (``savePDFLastStep:70-78``)
         rho_k = mac.density(f)
         rho_safe = jnp.where(rho_k > 0, rho_k, 1.0)
@@ -241,6 +272,8 @@ class ShanChenMCMP:
             f = f - (f - feq) / tau_q
         f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
         f = self._apply_outlet(f, f_old, vy_out)
+        if self._chang:
+            f = self._apply_chang(f, f_old)
         return f
 
     # -- explicit forcing scheme step ------------------------------------
@@ -315,6 +348,53 @@ class ShanChenMCMP:
                 f, f_old, vy_out, rows,
                 tuple(self._row_masks[r] for r in rows))
         return f
+
+    def _apply_chang(self, f, f_old):
+        """Chang et al. 2009 corrector rewrites + ghost-row maintenance.
+
+        Velocity inlet: row ny-2 then ghost copy ny-1<-ny-2
+        (``calVelocityBoundaryHigherChangGPU:1127-1165`` +
+        ``ghostPointsConstantVelocityInlet:710-736``).  Pressure
+        inlet/outlet: rows ny-2 / 1 with the per-fluid target split by the
+        local density fraction, then both ghost rows
+        (``calPressureBoundary{Higher,Lower}ChangGPU:1172-1265`` +
+        ``ghostPointsConstantPressureInlet:659-703``, which maintains row 0
+        and row ny-1 in one kernel)."""
+        ny = self.geo.ny
+        row_in, row_out = ny - 2, 1
+        if self.bcs.inlet == "chang_velocity":
+            v = jnp.asarray(self.bcs.inlet_velocity,
+                            self.dtype).reshape(-1, 1)
+            f = bc.chang_velocity_top(f, f_old, v, row_in,
+                                      self._row_masks[row_in])
+            f = bc.copy_row(f, ny - 1, row_in, self._row_masks[ny - 1])
+        elif self.bcs.inlet == "chang_pressure":
+            f = bc.chang_pressure_top(
+                f, f_old, self._chang_rho_frac(f, row_in, "inlet"),
+                row_in, self._row_masks[row_in])
+            f = bc.copy_row(f, ny - 1, row_in, self._row_masks[ny - 1])
+        if self.bcs.outlet == "chang_pressure":
+            f = bc.chang_pressure_bottom(
+                f, f_old, self._chang_rho_frac(f, row_out, "outlet"),
+                row_out, self._row_masks[row_out])
+            f = bc.copy_row(f, 0, row_out, self._row_masks[0])
+        return f
+
+    def _chang_rho_frac(self, f, row, side):
+        """Per-fluid target density rho_i/rho_tot * rho_spec on a BC row.
+
+        The reference splits the specified total by the local per-fluid
+        density fraction using the macro densities of the post-stream state
+        (``calPressureBoundaryHigherChangGPU:1185-1189``).  The specified
+        value is the *summed* per-fluid config densities, matching the
+        reference's single scalar ``specificRho``."""
+        rho_row = jnp.sum(f[..., row, :], axis=-2)   # (K, nx)
+        tot = jnp.sum(rho_row, axis=0)
+        tot = jnp.where(tot != 0, tot, 1.0)
+        spec = (self.bcs.inlet_density if side == "inlet"
+                else self.bcs.outlet_density)
+        rho_spec = float(np.sum(spec))
+        return rho_row / tot * rho_spec
 
     def _step_impl(self, f):
         if self._fused is not None:

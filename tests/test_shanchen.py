@@ -190,3 +190,99 @@ def test_efs_open_boundaries_iso_depth(iso):
     rho = np.asarray(jnp.sum(f[0], axis=0))
     # invading fluid advanced into the domain
     assert (rho > 0.5).sum() > front0 * 1.2, ((rho > 0.5).sum(), front0)
+
+
+def _single_fluid_channel(bcs, dtype, ny=64, nx=24):
+    """One-fluid SC channel (G=0 -> plain BGK) with solid side walls."""
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ShanChenParams(g_matrix=((0.0,),), g_solid=(0.0,), tau=(1.0,))
+    model = ShanChenMCMP(geo.from_solid_mask(solid), params, bcs, dtype=dtype)
+    f = model.init_state_layers((1.0,), (1.0,))
+    return model, f
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_chang_velocity_inlet_prescribes_flux(dtype):
+    """Chang et al. 2009 corrector velocity inlet on a driven channel
+    (``calVelocityBoundaryHigherChangGPU:1127-1165`` wired per
+    ``ShanChenD2Q9.py:1522-1539``): the steady state must carry the
+    prescribed inlet velocity on the BC row, and the interior flow it pumps
+    must agree with the independently-formulated Zou-He inlet on the same
+    channel — not merely hold a uniform fixpoint."""
+    vy = -2.0e-3
+
+    def drive(inlet):
+        bcs = SCBoundaryConfig(inlet=inlet, outlet="convective",
+                               inlet_velocity=(vy,))
+        model, f = _single_fluid_channel(bcs, dtype, ny=48)
+        f = run_chunked(model.step, f, num_steps=8000, io_interval=2000)
+        rho_k, (ux, uy) = model.macro(f)
+        return np.asarray(rho_k[0]), np.asarray(uy)
+
+    rho, uy = drive("chang_velocity")
+    assert np.isfinite(rho).all()
+    ny = rho.shape[0]
+    # the corrector holds the prescribed velocity exactly on its row
+    np.testing.assert_allclose(uy[ny - 2, 1:-1], vy, rtol=1e-2)
+    # interior flow matches the Zou-He-driven channel (two independent BC
+    # formulations, same physics)
+    rho_zh, uy_zh = drive("zou_he_velocity")
+    flux = (rho[ny // 2, 1:-1] * uy[ny // 2, 1:-1]).sum()
+    flux_zh = (rho_zh[ny // 2, 1:-1] * uy_zh[ny // 2, 1:-1]).sum()
+    np.testing.assert_allclose(flux, flux_zh, rtol=1e-2)
+    assert flux < 0  # inflow toward -y
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_chang_pressure_drop_drives_channel(dtype):
+    """Chang pressure inlet/outlet (``calPressureBoundary{Higher,Lower}
+    ChangGPU:1172-1265``): a rho_in > rho_out pair must hold the prescribed
+    densities on the BC rows and pump fluid down the channel."""
+    rho_in, rho_out = 1.02, 1.0
+    bcs = SCBoundaryConfig(inlet="chang_pressure", outlet="chang_pressure",
+                           inlet_density=(rho_in,), outlet_density=(rho_out,))
+    model, f = _single_fluid_channel(bcs, dtype)
+    f = run_chunked(model.step, f, num_steps=4000, io_interval=1000)
+    rho_k, (ux, uy) = model.macro(f)
+    assert np.isfinite(np.asarray(rho_k)).all()
+    ny = f.shape[-2]
+    rho = np.asarray(rho_k[0])
+    uy = np.asarray(uy)
+    # prescribed densities held on the corrector rows
+    np.testing.assert_allclose(rho[ny - 2, 1:-1], rho_in, rtol=2e-3)
+    np.testing.assert_allclose(rho[1, 1:-1], rho_out, rtol=2e-3)
+    # the pressure drop drives a net downward flow in the interior
+    assert uy[ny // 2, 1:-1].mean() < -1e-4, uy[ny // 2, 1:-1].mean()
+
+
+def test_chang_selectable_from_ini(tmp_path):
+    """BoundaryMethod = 'Chang' in the legacy INI dialect selects the Chang
+    BCs (``IniFiles/shanchen2D.ini:27-29``, ``ShanChenD2Q9.py:251``)."""
+    from openlbmpm_tpu.config import load_shanchen
+    main = tmp_path / "twophasesetup.ini"
+    main.write_text(
+        "[SeparationBorder]\nxGrid = 24\nyGrid = 64\n"
+        "[FluidsTypes]\nNumberOfFluids = 2\n"
+        "[InterType]\nInteractionType = 'ShanChen'\n"
+        "[RelaxationType]\nType = 'SRT'\n")
+    phys = tmp_path / "shanchen2D.ini"
+    phys.write_text(
+        "[FluidProperties]\nFluidsTau = 1.0, 1.0\n"
+        "InitialDensities = 1.0, 1.0\nBackgroundDensities = 0.02, 0.02\n"
+        "[ShanChenParameters]\ninteractionFluid = 3.6\n"
+        "interactionSolid = -0.3, 0.3\n"
+        "[BoundaryDefinition]\nBoundaryTypeInlet = 'Neumann'\n"
+        "BoundaryTypeOutlet = 'Convective'\nBoundaryMethod = 'Chang'\n"
+        "[VelocityBoundary]\nvelocityY = -1.0e-3, 0.0\n"
+        "[Time]\nnumberTimeStep = 100\n")
+    params, bcs, domain, run, extras = load_shanchen(str(main), str(phys))
+    assert bcs.inlet == "chang_velocity"
+    assert bcs.outlet == "convective"
+    # Dirichlet + Chang maps to the pressure corrector pair
+    phys.write_text(phys.read_text().replace("'Neumann'", "'Dirichlet'")
+                    .replace("BoundaryTypeOutlet = 'Convective'",
+                             "BoundaryTypeOutlet = 'Dirichlet'"))
+    params, bcs, domain, run, extras = load_shanchen(str(main), str(phys))
+    assert bcs.inlet == "chang_pressure"
+    assert bcs.outlet == "chang_pressure"
