@@ -52,7 +52,14 @@ class TransportParams:
     diff_xy: tuple = (0.0,)
     diff_yx: tuple = (0.0,)
     beta_interface: tuple = (0.0,)        # partition coefficient per tracer
-    interface_mode: Literal["permeable", "bounceback", "none"] = "permeable"
+    # "redistribute" = hard bounce-back confinement + the moving-interface
+    # concentration redistribution of the reference's node-status loop
+    # (``Transport2DRK.py:479-695``, ``AccelerateTransport2DRK.py:216-302``):
+    # when the phase front moves, exited nodes hand their tracer mass to
+    # in-domain neighbors and entered nodes borrow from donors — locally
+    # mass-conserving, no global renormalization needed.
+    interface_mode: Literal["permeable", "bounceback", "redistribute",
+                            "none"] = "permeable"
     reaction_rate: float = 0.0            # bilinear A + B -> C rate
     reaction_stoich: tuple = (-1.0, -1.0, 1.0)
     criteria: float = 0.5                 # rho_R threshold of the host phase
@@ -133,7 +140,24 @@ class TransportRK:
             transport_params=self.tp,
             state_mode="compressed" if compressed else "split",
             interpret=interpret)
-        if base is None or not self.tp.conserve_mass:
+        if base is None:
+            return None
+        if self.tp.interface_mode == "redistribute":
+            # front-motion repair needs the pre/post-step transport masks,
+            # so only the T=1 split-state form composes (same restriction
+            # as conserve_mass)
+            if steps_per_call != 1 or compressed:
+                return None
+            inner = base
+
+            def fused_with_redistribute(f_r, f_b, g):
+                rho_r_old = mac.density(f_r)
+                f_r, f_b, g = inner(f_r, f_b, g)
+                return f_r, f_b, self._redistribute(
+                    g, rho_r_old, mac.density(f_r))
+
+            base = fused_with_redistribute
+        if not self.tp.conserve_mass:
             return base
         if steps_per_call != 1 or compressed:
             return None
@@ -215,8 +239,10 @@ class TransportRK:
         # streaming with solid bounce-back, masked to the pore space
         g = stream(g, lat, self.upwind_solid_tr) * self.fluid_mask
 
-        # hard interface bounce-back (post-streaming repair)
-        if tp.interface_mode == "bounceback":
+        # hard interface bounce-back (post-streaming repair); redistribute
+        # mode confines the same way in-step, then repairs front motion in
+        # the step epilogue
+        if tp.interface_mode in ("bounceback", "redistribute"):
             g = tr.interface_bounce_back(g, in_domain, lat)
 
         # inlet BC after streaming
@@ -256,7 +282,24 @@ class TransportRK:
         g = self._transport_substep(g, mass0, u, gx, gy, rho_r)
         if not self.standalone:
             f_r, f_b = self.flow._step_impl(f_r, f_b)
+            if self.tp.interface_mode == "redistribute":
+                g = self._redistribute(g, rho_r, mac.density(f_r))
         return TransportState(f_r, f_b, g, mass0)
+
+    def _redistribute(self, g, rho_r_old, rho_r_new):
+        """Moving-front concentration redistribution epilogue
+        (``calUpdateConcOnNewNodesGPU`` family,
+        ``AccelerateTransport2DRK.py:216-302``): compares the transport
+        domain before and after the flow advance and exchanges the tracer
+        mass of exited/entered nodes locally."""
+        in_old, _ = tr.transport_domain_mask(rho_r_old, self.tp.criteria)
+        in_new, _ = tr.transport_domain_mask(rho_r_new, self.tp.criteria)
+        in_old = jnp.logical_and(in_old, self.fluid_mask > 0)
+        in_new = jnp.logical_and(in_new, self.fluid_mask > 0)
+        return tr.redistribute_on_interface_motion(
+            g, in_new, in_old, self.j_coeffs if self.tp.scheme == 5
+            else np.tile(self.lat_tr.w, (self.tp.num_tracers, 1)),
+            self.lat_tr)
 
     def step(self, state: TransportState) -> TransportState:
         return self._step(state)

@@ -206,6 +206,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             if tp.inlet != "none" or tp.outlet != "none":
                 return None
     tr_mode = tp.interface_mode if has_transport else None
+    if tr_mode == "redistribute":
+        # in-kernel part of redistribute mode = hard bounce-back confinement;
+        # the front-motion mass exchange is a local jnp epilogue composed by
+        # ``TransportRK.make_block_step`` (like conserve_mass)
+        tr_mode = "bounceback"
     is_local = local_ny is not None
     if is_local and (not compressed or has_transport):
         return None  # sharded fused path is compressed-only, flow-only

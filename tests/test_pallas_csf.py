@@ -579,3 +579,50 @@ def test_defer_mask_predicate():
                                  steps_per_call=1, bc_config=bcs,
                                  state_mode="compressed", interpret=True)
     assert not step3.defer_mask
+
+
+def test_coupled_redistribute_fused_matches_jnp():
+    """`interface_mode="redistribute"`: the fused kernel confines in-step
+    (bounce-back) and `TransportRK.make_block_step` composes the
+    front-motion mass exchange as a jnp epilogue; both paths must agree at
+    f64 1e-12 across steps that flip transport-domain cells."""
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="SRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="convective",
+                           inlet_velocity=-2e-3)
+    tp = TransportParams(num_tracers=1, scheme=5, tau=(1.0,), j0=(1 / 3,),
+                         interface_mode="redistribute")
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float64, use_pallas=False)
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((1, n, n))
+    conc0[:, 8:20, 1:-1] = 1.0
+    st = m.init_state(fs, conc0)
+    # develop the front, then rescale f_r so interface cells straddle the
+    # 0.5 threshold and the next steps flip transport-domain membership
+    for _ in range(40):
+        st = m._step_impl(st)
+    rho_r = np.asarray(jnp.sum(st.f_r, axis=0))
+    band = rho_r[(rho_r > 0.3) & (rho_r < 0.7)]
+    assert band.size > 0
+    scale = 0.4999 / np.median(band)
+    st = st._replace(f_r=st.f_r * scale)
+    fused = m.make_block_step(steps_per_call=1, rows_per_block=8,
+                              interpret=True)
+    assert fused is not None
+    a = st
+    fr, fb, g = st.f_r, st.f_b, st.g
+    flipped = 0
+    for _ in range(3):
+        dom_before = np.asarray(jnp.sum(a.f_r, axis=0)) < 0.5
+        a = m._step_impl(a)
+        dom_after = np.asarray(jnp.sum(a.f_r, axis=0)) < 0.5
+        flipped += int((dom_before != dom_after).sum())
+        fr, fb, g = fused(fr, fb, g)
+    assert flipped > 0   # the window exercised the redistribution
+    assert float(jnp.max(jnp.abs(a.f_r - fr))) < 1e-12
+    assert float(jnp.max(jnp.abs(a.g - g))) < 1e-12

@@ -214,3 +214,41 @@ def test_redistribute_on_interface_motion():
     g3 = tr.redistribute_on_interface_motion(g2, dom_old, dom_new, jc, D2Q5)
     assert abs(float(jnp.sum(g3)) - total0) / total0 < 1e-12
     assert np.asarray(jnp.sum(g3, axis=1))[0, 7].mean() > 0
+
+
+def test_redistribute_wired_into_coupled_drainage():
+    """`interface_mode="redistribute"` in the coupled step: a velocity-driven
+    drainage front sweeps through the tracer phase; the moving-interface
+    repair (``Transport2DRK.py:479-695``, ``AccelerateTransport2DRK.py:
+    216-302``) must conserve the total tracer mass to 1e-12 in f64 WITHOUT
+    the global renormalization crutch, while exited nodes carry zero."""
+    from openlbmpm_tpu.models.colorgradient import CGBoundaryConfig
+    ny, nx = 64, 32
+    g_dom = geo.box_with_walls(nx, ny)
+    fp = ColorGradientParams(surface_tension=0.01, collision="SRT")
+    tp = TransportParams(num_tracers=1, scheme=5, tau=(1.0,), j0=(1 / 3,),
+                         interface_mode="redistribute", conserve_mass=False)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="convective",
+                           inlet_velocity=-4e-3)
+    model = TransportRK(g_dom, fp, tp, boundaries=bcs, dtype=jnp.float64,
+                        use_pallas=False)
+    flow_state = model.flow.init_state_layers(invading_rows=16)
+    conc0 = np.zeros((1, ny, nx))
+    conc0[0, 20:36, 1:-1] = 1.0   # tracer band in the defending (blue) phase
+    state = model.init_state(flow_state, conc0)
+    mass0 = float(np.asarray(model.concentration(state.g)).sum())
+    dom0 = int((np.asarray(jnp.sum(state.f_r, axis=0)) < 0.5).sum())
+    state = run_chunked(model.step, state, num_steps=600, io_interval=200)
+    conc = np.asarray(model.concentration(state.g))[0]
+    rho_r = np.asarray(jnp.sum(state.f_r, axis=0))
+    in_domain = rho_r < 0.5
+    # the front actually moved (nodes exited the transport domain)
+    assert int(in_domain.sum()) < dom0 - nx, (int(in_domain.sum()), dom0)
+    # total tracer mass conserved exactly (local exchange, no global repair)
+    mass1 = float(conc.sum())
+    assert abs(mass1 - mass0) / mass0 < 1e-12, (mass0, mass1)
+    # exited nodes carry no leftover tracer
+    fluid = np.asarray(model.fluid_mask) > 0
+    outside = np.logical_and(~in_domain, fluid)
+    assert float(np.abs(conc[outside]).max()) < 1e-10
+    assert np.isfinite(conc).all()
