@@ -93,7 +93,8 @@ class RunSpec:
 def _bc_name(txt: str) -> str:
     return {"neumann": "neumann", "dirichlet": "dirichlet", "dirilcht":
             "dirichlet", "convective": "convective", "periodic": "periodic",
-            "averageconvective": "convective"}.get(txt.lower(), "periodic")
+            "averageconvective": "convective_average"}.get(
+        txt.lower(), "periodic")
 
 
 def load_colorgradient(path: str):
@@ -126,15 +127,29 @@ def load_colorgradient(path: str):
                     ini.number("BodyForce", "bodyForceY", default=0.0)),
         gradient_type=ini.text("GradientType", "Type", default="Isotropic"),
     )
+    inlet = _bc_name(ini.text("BoundaryCondition", "BoundaryTypeInlet",
+                              default="periodic"))
+    # VelocityType = 'PerColor' selects the per-color Zou-He velocity inlet
+    # (``RKGPU2DBoundary.constantVelocityZHBoundaryHigherRK:11-56``; the
+    # reference comments it against the total-momentum inlet at
+    # ``RKD2Q9.py:1306-1311``)
+    if inlet == "neumann" and ini.text(
+            "BoundaryCondition", "VelocityType",
+            default="Total").lower() == "percolor":
+        inlet = "neumann_per_color"
+    outlet = _bc_name(ini.text("BoundaryCondition", "BoundaryTypeOutlet",
+                               default="periodic"))
     bcs = CGBoundaryConfig(
-        inlet=_bc_name(ini.text("BoundaryCondition", "BoundaryTypeInlet",
-                                default="periodic")),
-        outlet=_bc_name(ini.text("BoundaryCondition", "BoundaryTypeOutlet",
-                                 default="periodic")),
+        inlet=inlet,
+        outlet=outlet,
         inlet_velocity=(ini.number("BoundaryCondition", "velocityYR",
                                    default=0.0) +
                         ini.number("BoundaryCondition", "velocityYB",
                                    default=0.0)),
+        inlet_velocity_r=ini.number("BoundaryCondition", "velocityYR",
+                                    default=0.0),
+        inlet_velocity_b=ini.number("BoundaryCondition", "velocityYB",
+                                    default=0.0),
         inlet_density_r=ini.number("BoundaryCondition", "densityRH",
                                    default=1.0),
         inlet_density_b=ini.number("BoundaryCondition", "densityBH",
@@ -218,12 +233,16 @@ def load_shanchen(main_path: str, physics_path: str | None = None):
         inlet_map = {"neumann": "chang_velocity",
                      "dirichlet": "chang_pressure", "periodic": "periodic"}
         outlet_map = {"dirichlet": "chang_pressure",
-                      "convective": "convective", "periodic": "periodic"}
+                      "convective": "convective",
+                      "convective_average": "convective",
+                      "periodic": "periodic"}
     else:
         inlet_map = {"neumann": "zou_he_velocity",
                      "dirichlet": "zou_he_pressure", "periodic": "periodic"}
         outlet_map = {"dirichlet": "zou_he_pressure",
-                      "convective": "convective", "periodic": "periodic"}
+                      "convective": "convective",
+                      "convective_average": "convective",
+                      "periodic": "periodic"}
     bcs = SCBoundaryConfig(
         inlet=inlet_map.get(inlet, "periodic"),
         outlet=outlet_map.get(outlet, "periodic"),

@@ -78,9 +78,26 @@ class ColorGradientParams:
 
 @dataclasses.dataclass(frozen=True)
 class CGBoundaryConfig:
-    inlet: str = "periodic"   # periodic | neumann (velocity) | dirichlet (pressure)
-    outlet: str = "periodic"  # periodic | convective | dirichlet
+    """Open-boundary selection for the RK/CSF run loops.
+
+    inlet:  periodic | neumann (total-momentum velocity, NEBB,
+            ``constantTotalVelocityInlet:2348``) | neumann_per_color
+            (per-color Zou-He velocity,
+            ``RKGPU2DBoundary.constantVelocityZHBoundaryHigherRK:11-56``)
+            | dirichlet (pressure)
+    outlet: periodic | convective (plain copy trio,
+            ``convectiveOutletGPU:700-790``) | convective_average
+            (f = (f_old + |v| f_up)/(1 + |v|) trio with |v| from the row
+            above the outlet layers,
+            ``convectiveAverageBoundaryGPU{,2,3}:791-886``) | dirichlet
+            | modified_periodic
+    """
+
+    inlet: str = "periodic"
+    outlet: str = "periodic"
     inlet_velocity: float = 0.0        # total v_y (Neumann)
+    inlet_velocity_r: float = 0.0      # per-color v_y (neumann_per_color)
+    inlet_velocity_b: float = 0.0
     inlet_density_r: float = 1.0       # per-color inlet densities (Dirichlet)
     inlet_density_b: float = 0.0
     outlet_density_r: float = 0.0
@@ -145,8 +162,9 @@ class ColorGradientRK:
         for CPU tests, interpret-mode checks, and sharded meshes)."""
         if not use_pallas:
             return None
-        if self.bcs.outlet == "modified_periodic":
-            return None  # seam color swap handled on the jnp path only
+        if self.bcs.outlet in ("modified_periodic", "convective_average"):
+            # seam color swap / f_old-blend outlet live on the jnp path only
+            return None
         if use_pallas == "auto":
             try:
                 platform = jax.devices()[0].platform
@@ -220,6 +238,15 @@ class ColorGradientRK:
         if self.bcs.inlet == "neumann":
             f_r, f_b = bc.total_velocity_inlet_top(
                 f_r, f_b, self.bcs.inlet_velocity, ny - 2, m[ny - 2])
+            f_r = bc.copy_row(f_r, ny - 1, ny - 2, m[ny - 1])
+            f_b = bc.copy_row(f_b, ny - 1, ny - 2, m[ny - 1])
+        elif self.bcs.inlet == "neumann_per_color":
+            # per-color Zou-He velocity inlet
+            # (``RKGPU2DBoundary.constantVelocityZHBoundaryHigherRK:11-56``)
+            f_r, _ = bc.zou_he_velocity_top(
+                f_r, self.bcs.inlet_velocity_r, ny - 2, m[ny - 2])
+            f_b, _ = bc.zou_he_velocity_top(
+                f_b, self.bcs.inlet_velocity_b, ny - 2, m[ny - 2])
             f_r = bc.copy_row(f_r, ny - 1, ny - 2, m[ny - 1])
             f_b = bc.copy_row(f_b, ny - 1, ny - 2, m[ny - 1])
         elif self.bcs.inlet == "dirichlet":
@@ -375,9 +402,10 @@ class ColorGradientRK:
         return jnp.concatenate([f_tot, rho_r_new[None]], axis=0)
 
     def _step_impl_c(self, s):
-        if self.bcs.outlet == "modified_periodic":
+        if self.bcs.outlet in ("modified_periodic", "convective_average"):
             raise NotImplementedError(
-                "modified_periodic seam swap needs the split state")
+                f"{self.bcs.outlet} needs the split state (per-color "
+                "pre-step PDFs / seam color swap)")
         if self.p.variant == "CSF":
             return self._step_csf_c(s)
         return self._step_pert_c(s)
@@ -395,10 +423,27 @@ class ColorGradientRK:
         uy = (my + 0.5 * fy) / rho_safe
         return rho_r, rho_b, phi, (ux, uy)
 
+    def _apply_convective_average(self, f_r, f_b, f_old, uy):
+        """Averaged convective outlet trio: each outlet row blends its own
+        pre-step PDFs with the fresh row above at the speed of the first
+        interior row, f = (f_old + |v3| f_up)/(1 + |v3|)
+        (``convectiveAverageBoundaryGPU{,2,3}:791-886``; the reference
+        allocates the f_old buffers for this mode at ``RKD2Q9.py:1285-1287``
+        but never launches the kernels — wired here as designed)."""
+        m = self._row_masks
+        vy3 = uy[3]
+        rows = (2, 1, 0)
+        masks = (m[2], m[1], m[0])
+        f_r = bc.convective_outlet_rows(f_r, f_old[0], vy3, rows, masks)
+        f_b = bc.convective_outlet_rows(f_b, f_old[1], vy3, rows, masks)
+        return f_r, f_b
+
     # -- CSF step ---------------------------------------------------------
     def _step_csf(self, f_r, f_b):
         f_r, f_b = self._apply_inlet(f_r, f_b)
         f_r, f_b = self._apply_outlet(f_r, f_b)
+        f_old = (f_r, f_b) if self.bcs.outlet == "convective_average" \
+            else None
         if self._fused is not None:
             return self._fused(f_r, f_b)
         rho_r, rho_b, phi, gx, gy, fx, fy = self.color_force_fields(f_r, f_b)
@@ -428,7 +473,10 @@ class ColorGradientRK:
                                   self.lat)
         f_r = stream(f_r, self.lat, self.upwind_solid) * self.fluid_mask
         f_b = stream(f_b, self.lat, self.upwind_solid) * self.fluid_mask
-        return self._post_stream(f_r, f_b)
+        f_r, f_b = self._post_stream(f_r, f_b)
+        if f_old is not None:
+            f_r, f_b = self._apply_convective_average(f_r, f_b, f_old, uy)
+        return f_r, f_b
 
     # -- Perturbation step --------------------------------------------------
     def _pert_gradient(self, rho_r, rho_b):
@@ -451,6 +499,8 @@ class ColorGradientRK:
     def _step_perturbation(self, f_r, f_b):
         f_r, f_b = self._apply_inlet(f_r, f_b)
         f_r, f_b = self._apply_outlet(f_r, f_b)
+        f_old = (f_r, f_b) if self.bcs.outlet == "convective_average" \
+            else None
         if self._fused is not None:
             return self._fused(f_r, f_b)
         rho_r = mac.density(f_r)
@@ -488,7 +538,10 @@ class ColorGradientRK:
             self.const_cr, self.const_cb, self.lat)
         f_r = stream(f_r, self.lat, self.upwind_solid) * self.fluid_mask
         f_b = stream(f_b, self.lat, self.upwind_solid) * self.fluid_mask
-        return self._post_stream(f_r, f_b)
+        f_r, f_b = self._post_stream(f_r, f_b)
+        if f_old is not None:
+            f_r, f_b = self._apply_convective_average(f_r, f_b, f_old, uy)
+        return f_r, f_b
 
     def _post_stream(self, f_r, f_b):
         """Post-streaming seam handling: the 'modified periodic' boundary

@@ -340,3 +340,94 @@ def test_relperm_layered_poiseuille():
     s_meas, kr_w, kr_n, kr_w_a, kr_n_a = run_point(0.45)
     assert abs(kr_w / kr_w_a - 1.0) < 0.02, (kr_w, kr_w_a)
     assert abs(kr_n / kr_n_a - 1.0) < 0.02, (kr_n, kr_n_a)
+
+
+def _two_phase_channel(bcs, ny=64, nx=32, invading=16, sigma=0.01):
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(variant="CSF", collision="SRT",
+                                 surface_tension=sigma, wetting_type=2)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                            dtype=jnp.float64)
+    state = model.init_state_layers(1.0, 1.0, invading_rows=invading)
+    return model, state
+
+
+def test_per_color_zou_he_velocity_inlet():
+    """Per-color Zou-He velocity inlet
+    (``RKGPU2DBoundary.constantVelocityZHBoundaryHigherRK:11-56``): each
+    color carries its own prescribed velocity on the BC row — the red
+    (invading) phase at the inlet must move at exactly velocityYR, and the
+    displacement must advance like the total-momentum inlet drives it."""
+    vy_r = -2.0e-3
+    bcs = CGBoundaryConfig(inlet="neumann_per_color", outlet="convective",
+                           inlet_velocity_r=vy_r, inlet_velocity_b=0.0)
+    model, state = _two_phase_channel(bcs)
+    front0 = int((np.asarray(jnp.sum(state[0], axis=0)) > 0.5).sum())
+    state = run_chunked(model.step, state, num_steps=1500, io_interval=500)
+    f_r, f_b = state
+    assert bool(jnp.isfinite(f_r).all() and jnp.isfinite(f_b).all())
+    ny = f_r.shape[-2]
+    # red row momentum / red row density = prescribed per-color velocity
+    # post-stream state: interior columns hold the prescribed rate (the
+    # 2-3 wall-adjacent columns feel the side-wall bounce-back)
+    ey = jnp.asarray(model.lat.e[:, 1], f_r.dtype).reshape(-1, 1)
+    row = f_r[:, ny - 2, 4:-4]
+    uy_r = np.asarray(jnp.sum(row * ey, axis=0) / jnp.sum(row, axis=0))
+    np.testing.assert_allclose(uy_r, vy_r, rtol=1e-2)
+    # and the BC rewrite itself enforces it exactly on the row
+    f_r2, f_b2 = model._apply_inlet(f_r, f_b)
+    row2 = f_r2[:, ny - 2, 1:-1]
+    uy_r2 = np.asarray(jnp.sum(row2 * ey, axis=0) / jnp.sum(row2, axis=0))
+    np.testing.assert_allclose(uy_r2, vy_r, rtol=1e-12)
+    # the red front advanced into the channel
+    front1 = int((np.asarray(jnp.sum(f_r, axis=0)) > 0.5).sum())
+    assert front1 > front0 + 32, (front0, front1)
+
+
+def test_convective_average_outlet_two_phase_channel():
+    """Averaged convective outlet (``convectiveAverageBoundaryGPU{,2,3}:
+    791-886``): blends each outlet row's previous PDFs with the fresh row
+    above at the first interior row's speed.  On a driven two-phase channel
+    it must stay finite, admit the displaced fluid out (domain mass does
+    not accumulate), and track the upstream state at the outlet rows."""
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="convective_average",
+                           inlet_velocity=-2.0e-3)
+    model, state = _two_phase_channel(bcs)
+    assert model._fused is None   # jnp path carries the pre-step PDFs
+    m0 = float(jnp.sum(state[0]) + jnp.sum(state[1]))
+    state = run_chunked(model.step, state, num_steps=2500, io_interval=500)
+    f_r, f_b = state
+    assert bool(jnp.isfinite(f_r).all() and jnp.isfinite(f_b).all())
+    rho = np.asarray(jnp.sum(f_r + f_b, axis=0))
+    # outlet rows relax toward the upstream state (blend, not copy: equality
+    # only in steady state, so compare loosely)
+    np.testing.assert_allclose(rho[0, 1:-1], rho[3, 1:-1], rtol=5e-2)
+    # inflow is balanced by outflow: total mass stays within a few percent
+    m1 = float(jnp.sum(f_r) + jnp.sum(f_b))
+    assert abs(m1 - m0) / m0 < 0.05, (m0, m1)
+
+
+def test_convective_average_selectable_from_ini(tmp_path):
+    """'AverageConvective' must select the averaged trio, not alias to the
+    plain copy trio (the reference reads it at ``RKD2Q9.py:1285``)."""
+    from openlbmpm_tpu.config import load_colorgradient
+    ini = tmp_path / "rk.ini"
+    ini.write_text(
+        "[DomainSize]\nxDomain = 32\nyDomain = 64\n"
+        "[FluidParameters]\nTauR = 1.0\nTauB = 1.0\nTauType = 2\n"
+        "[SurfaceTension]\nSurfaceTensionType = 'CSF'\n"
+        "SurfaceTension = 0.01\nContactAngle = 60.0\nWettingType = 2\n"
+        "[RelaxationType]\nType = 'SRT'\n"
+        "[BoundaryCondition]\nBoundaryTypeInlet = 'Neumann'\n"
+        "BoundaryTypeOutlet = 'AverageConvective'\n"
+        "velocityYR = -1.0e-3\nvelocityYB = 0.0\n"
+        "[TimeSetup]\nTimeSteps = 10\nTimeInterval = 10\n")
+    params, bcs, domain, run = load_colorgradient(str(ini))
+    assert bcs.outlet == "convective_average"
+    # per-color velocity inlet selectable via VelocityType
+    ini.write_text(ini.read_text().replace(
+        "velocityYR", "VelocityType = 'PerColor'\nvelocityYR"))
+    params, bcs, domain, run = load_colorgradient(str(ini))
+    assert bcs.inlet == "neumann_per_color"
+    assert bcs.inlet_velocity_r == -1.0e-3
