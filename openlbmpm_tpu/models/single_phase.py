@@ -25,7 +25,8 @@ from ..ops import collision as col
 from ..ops import equilibrium as eq
 from ..ops import macroscopic as mac
 from ..ops.forcing import guo_source
-from ..ops.streaming import stream, upwind_solid_masks
+from ..ops.streaming import (stream, stream_moving_wall,
+                             upwind_solid_masks)
 
 __all__ = ["SinglePhaseD2Q9", "BoundaryConfig"]
 
@@ -56,7 +57,15 @@ class SinglePhaseD2Q9:
         body_force: tuple[float, float] = (0.0, 0.0),
         boundaries: BoundaryConfig = BoundaryConfig(),
         dtype=jnp.float32,
+        moving_wall_mask: np.ndarray | None = None,
+        wall_velocity: tuple[float, float] = (0.0, 0.0),
     ):
+        """moving_wall_mask: bool (ny, nx) subset of the solid voxels that
+        translate at ``wall_velocity`` — streaming then uses the
+        moving-wall link bounce-back of ``calStreaming1withLinkGPU`` /
+        ``calLinkBounceBack`` (``OptimizedD2Q9GPU.py:1664-1692``), the
+        lid-driven-cavity capability the reference keeps commented out at
+        ``ShanChenD2Q9.py:1595-1599``."""
         self.lat = D2Q9
         self.geo = geometry
         self.tau = float(tau)
@@ -68,6 +77,15 @@ class SinglePhaseD2Q9:
         self.fluid_mask = jnp.asarray(geometry.is_fluid, dtype)
         self.upwind_solid = jnp.asarray(
             upwind_solid_masks(self.lat, geometry.is_solid))
+        self.wall_velocity = (float(wall_velocity[0]),
+                              float(wall_velocity[1]))
+        self.upwind_moving = None
+        if moving_wall_mask is not None and any(self.wall_velocity):
+            mm = np.asarray(moving_wall_mask, bool)
+            if not (mm <= geometry.is_solid).all():
+                raise ValueError("moving_wall_mask must lie on solid voxels")
+            self.upwind_moving = jnp.asarray(
+                upwind_solid_masks(self.lat, mm))
         if collision == "MRT":
             self._s_vec = col.mrt_relaxation_d2q9_sc(self.tau)
         ny = geometry.ny
@@ -142,8 +160,15 @@ class SinglePhaseD2Q9:
         return f
 
     def _step_impl(self, f):
+        if self.upwind_moving is not None:
+            rho = mac.density(f)
         f = self._collide(f)
-        f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
+        if self.upwind_moving is not None:
+            f = stream_moving_wall(f, self.lat, self.upwind_solid, rho,
+                                   self.wall_velocity, self.upwind_moving)
+            f = f * self.fluid_mask
+        else:
+            f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
         f = self._apply_bcs(f)
         return f
 

@@ -74,7 +74,8 @@ def stream_and_mask(f: jnp.ndarray, lat: Lattice, upwind_solid: jnp.ndarray,
 
 def stream_moving_wall(f: jnp.ndarray, lat: Lattice,
                        upwind_solid: jnp.ndarray, rho: jnp.ndarray,
-                       u_wall) -> jnp.ndarray:
+                       u_wall, upwind_moving: jnp.ndarray | None = None
+                       ) -> jnp.ndarray:
     """Pull streaming with moving-wall link bounce-back.
 
     Bounced populations pick up the wall-momentum term
@@ -87,6 +88,11 @@ def stream_moving_wall(f: jnp.ndarray, lat: Lattice,
     Args:
       rho: (..., *spatial) density of the bouncing fluid.
       u_wall: tuple of wall-velocity components (scalars or fields).
+      upwind_moving: optional (Q, *spatial) bool — links whose upwind solid
+        voxel belongs to the MOVING wall (``upwind_solid_masks`` of the
+        moving-wall subset).  When given, only those links pick up the
+        momentum term; other solid links bounce plainly.  Default: every
+        solid wall moves.
     """
     qax = -1 - lat.dim
     outs = [jnp.take(f, 0, axis=qax)]
@@ -97,7 +103,10 @@ def stream_moving_wall(f: jnp.ndarray, lat: Lattice,
         fopp = jnp.take(f, io, axis=qax)
         e_dot_uw = sum(float(lat.e[i, k]) * u_wall[k]
                        for k in range(lat.dim))
-        bounced = fopp + 6.0 * float(lat.w[i]) * rho * e_dot_uw
+        term = 6.0 * float(lat.w[i]) * rho * e_dot_uw
+        if upwind_moving is not None:
+            term = jnp.where(upwind_moving[i], term, 0.0)
+        bounced = fopp + term
         if lat.dim == 2:
             pulled = pull(fi, int(d[0]), int(d[1]))
         else:

@@ -103,3 +103,32 @@ def test_single_phase_fused_matches_jnp(collision, t_block, rpb, bckind):
     for _ in range(4 // t_block):
         b = fused(b)
     assert float(jnp.max(jnp.abs(a - b))) < 1e-12
+
+
+def test_lid_driven_cavity_ghia_re100():
+    """Moving-wall link bounce-back through the model
+    (``calStreaming1withLinkGPU`` / ``calLinkBounceBack``,
+    ``OptimizedD2Q9GPU.py:1664-1692``; the reference keeps the launch
+    commented at ``ShanChenD2Q9.py:1595-1599``): lid-driven cavity at
+    Re=100, vertical-centerline u_x checked against Ghia, Ghia & Shin
+    (1982) — u(center) = -0.20581, min u = -0.21090."""
+    n, U = 64, 0.1
+    nu = U * n / 100.0
+    solid = np.zeros((n + 2, n + 2), bool)
+    solid[0, :] = solid[-1, :] = solid[:, 0] = solid[:, -1] = True
+    moving = np.zeros_like(solid)
+    moving[-1, :] = True                      # the lid: top solid row
+    model = SinglePhaseD2Q9(geo.from_solid_mask(solid), tau=3 * nu + 0.5,
+                            collision="SRT", moving_wall_mask=moving,
+                            wall_velocity=(U, 0.0), dtype=jnp.float64)
+    f = model.init_state(1.0)
+    f = run_chunked(model.step, f, num_steps=10000, io_interval=5000)
+    rho, (ux, uy) = model.macro(f)
+    prof = np.asarray(ux[1:-1, (n + 2) // 2]) / U
+    assert np.isfinite(np.asarray(rho)).all()
+    assert abs(prof[n // 2] - (-0.20581)) < 0.01, prof[n // 2]
+    assert abs(prof.min() - (-0.21090)) < 0.01, prof.min()
+    # lid drags the top of the cavity along +x
+    assert prof[-1] > 0.9
+    # mass stays bounded (wall injects momentum, not mass)
+    assert abs(float(jnp.sum(f)) / (n * n) - 1.0) < 1e-2
