@@ -129,7 +129,8 @@ def _run_colorgradient(args):
     run_chunked(step_fn, state,
                 num_steps=max(1, run.num_steps // step_scale),
                 io_interval=max(1, run.io_interval // step_scale),
-                callback=callback, nan_guard=True)
+                callback=callback, nan_guard=True,
+                profile_dir=args.profile)
     logger.close()
     return 0
 
@@ -230,7 +231,8 @@ def _run_shanchen(args):
     run_chunked(step_fn, state,
                 num_steps=max(1, run.num_steps // step_scale),
                 io_interval=max(1, run.io_interval // step_scale),
-                callback=callback, nan_guard=True)
+                callback=callback, nan_guard=True,
+                profile_dir=args.profile)
     logger.close()
     return 0
 
@@ -288,7 +290,7 @@ def _run_transport(args):
     run_chunked(step_fn, state,
                 num_steps=max(1, run.num_steps // step_scale),
                 io_interval=max(1, run.io_interval // step_scale),
-                callback=callback)
+                callback=callback, profile_dir=args.profile)
     logger.close()
     return 0
 
@@ -366,7 +368,8 @@ def _run_colorgradient3d(args):
         return False
 
     run_chunked(step_fn, state, num_steps=run.num_steps,
-                io_interval=run.io_interval, callback=callback)
+                io_interval=run.io_interval, callback=callback,
+                profile_dir=args.profile)
     logger.close()
     return 0
 
@@ -442,7 +445,8 @@ def _run_basic(args):
     run_chunked(step_fn, state,
                 num_steps=max(1, run.num_steps // step_scale),
                 io_interval=max(1, run.io_interval // step_scale),
-                callback=callback, nan_guard=True)
+                callback=callback, nan_guard=True,
+                profile_dir=args.profile)
     logger.close()
     return 0
 
@@ -498,6 +502,11 @@ def main(argv=None) -> int:
         sp.add_argument("--stop-at-steady", type=float, default=0.0,
                         help="stop when the relative L2 velocity change "
                              "between outputs drops below this tolerance")
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the first "
+                             "post-compile chunk into DIR (phases carry "
+                             "named_scope annotations: bc/fields/collide/"
+                             "stream)")
 
     runp = sub.add_parser("run", help="run a simulation")
     common(runp)

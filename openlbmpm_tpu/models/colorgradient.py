@@ -336,34 +336,47 @@ class ColorGradientRK:
         return s
 
     def _step_csf_c(self, s):
-        s = self._apply_bcs_c(s)
+        # jax.named_scope phase annotations (bc/fields/collide/recolor/
+        # stream) show up in profiler traces captured via the CLI
+        # ``--profile`` flag — observability the reference starts but never
+        # reports (``ShanChenD2Q9.py:1080,1493``, SURVEY.md section 5).
+        with jax.named_scope("bc"):
+            s = self._apply_bcs_c(s)
         if self._fused_c is not None:
             return self._fused_c(s)
-        rho_r, rho_b, rho = self.rho_fields_c(s)
-        phi, gx, gy, fx, fy = self.color_force_fields_from_rho(rho_r, rho_b)
-        rho_safe = jnp.where(rho > 0, rho, 1.0)
-        f_tot = s[:9]
-        mx, my = mac.momentum(self.lat, f_tot)
-        ux = (mx + 0.5 * fx) / rho_safe
-        uy = (my + 0.5 * fy) / rho_safe
-        tau = cg.tau_interp_csf(phi, rho_r, rho_b, self.p.tau_r, self.p.tau_b,
-                                self.p.delta, self.p.tau_type)
-        feq_tot = eq.feq_quadratic(self.lat, rho, (ux, uy))
-        src = guo_source(self.lat, (ux, uy), (fx, fy))
-        if self.p.collision == "SRT":
-            f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
-            f_tot = f_tot + (1.0 - 0.5 / tau)[None] * src
-        else:
-            inv_tau = 1.0 / tau
-            f_tot = col.mrt_variable_nu(f_tot, feq_tot, self.lat, self._mrt_s,
-                                        inv_tau)
-            f_tot = f_tot + col.mrt_force_transform_variable(
-                src, self.lat, self._mrt_s, inv_tau)
-        f_r_post, _ = cg.recolor_lkr(f_tot, rho_r, rho_b, gx, gy, self.p.beta,
-                                     self.lat)
-        f_tot = stream(f_tot, self.lat, self.upwind_solid) * self.fluid_mask
-        rho_r_new = mac.density(
-            stream(f_r_post, self.lat, self.upwind_solid)) * self.fluid_mask
+        with jax.named_scope("fields"):
+            rho_r, rho_b, rho = self.rho_fields_c(s)
+            phi, gx, gy, fx, fy = self.color_force_fields_from_rho(
+                rho_r, rho_b)
+            rho_safe = jnp.where(rho > 0, rho, 1.0)
+            f_tot = s[:9]
+            mx, my = mac.momentum(self.lat, f_tot)
+            ux = (mx + 0.5 * fx) / rho_safe
+            uy = (my + 0.5 * fy) / rho_safe
+            tau = cg.tau_interp_csf(phi, rho_r, rho_b, self.p.tau_r,
+                                    self.p.tau_b, self.p.delta,
+                                    self.p.tau_type)
+        with jax.named_scope("collide"):
+            feq_tot = eq.feq_quadratic(self.lat, rho, (ux, uy))
+            src = guo_source(self.lat, (ux, uy), (fx, fy))
+            if self.p.collision == "SRT":
+                f_tot = col.bgk_field_tau(f_tot, feq_tot, tau)
+                f_tot = f_tot + (1.0 - 0.5 / tau)[None] * src
+            else:
+                inv_tau = 1.0 / tau
+                f_tot = col.mrt_variable_nu(f_tot, feq_tot, self.lat,
+                                            self._mrt_s, inv_tau)
+                f_tot = f_tot + col.mrt_force_transform_variable(
+                    src, self.lat, self._mrt_s, inv_tau)
+        with jax.named_scope("recolor"):
+            f_r_post, _ = cg.recolor_lkr(f_tot, rho_r, rho_b, gx, gy,
+                                         self.p.beta, self.lat)
+        with jax.named_scope("stream"):
+            f_tot = stream(f_tot, self.lat, self.upwind_solid) * \
+                self.fluid_mask
+            rho_r_new = mac.density(
+                stream(f_r_post, self.lat, self.upwind_solid)) * \
+                self.fluid_mask
         return jnp.concatenate([f_tot, rho_r_new[None]], axis=0)
 
     def _step_pert_c(self, s):

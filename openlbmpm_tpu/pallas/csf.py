@@ -497,6 +497,24 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         wet_banded = bool(
             cols.size and np.all((cols <= 126) | (cols >= nx - 127)))
 
+    # Banded bounce-back streaming for rho_r (compressed CSF only): when
+    # every solid column — and so every upwind-solid mask column — sits in
+    # the edge lane blocks (e.g. channel side walls), the streamed red
+    # density is a pure grouped-roll sum of pre-masked planes plus a
+    # pointwise lane-band correction (see _substep_c); 6 x-rolls + 2
+    # y-rolls and zero full-window selects instead of 12 roll-ops + 8
+    # selects.
+    bb_banded = False
+    bb_any_solid = bool(geometry.is_solid.any())
+    if compressed and not is_pert and nx % 128 == 0 and nx // 128 >= 4:
+        if not bb_any_solid:
+            bb_banded = True   # fully periodic: grouped sum, no correction
+        else:
+            scols = np.where(geometry.is_solid.any(axis=0))[0]
+            uscols = np.unique(np.concatenate(
+                [(scols - 1) % nx, scols, (scols + 1) % nx]))
+            bb_banded = bool(np.all((uscols <= 127) | (uscols >= nx - 128)))
+
     # Mosaic has no value-level dynamic_update_slice and multi-piece
     # concatenates compile pathologically, so compiled-mode partial
     # writebacks round-trip through a (W, nx) VMEM scratch ref: full
@@ -723,18 +741,28 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             src[io] = c - d
         return src, uf
 
+    def _pair_sums(ft):
+        """Opposite-pair sums of the total PDF, shared between the density
+        (rho = ft0 + S + D), jx/jy, and the MRT moment transform."""
+        return {"s1p": ft[1] + ft[3], "s2p": ft[2] + ft[4],
+                "sA": ft[5] + ft[7], "sB": ft[6] + ft[8]}
+
     # -- shared collision on the total PDF (returns post list) -------------
-    def _collide_total(ft, rho_r, rho_b, rho, rinv, phi, gx, gy, fx, fy):
+    def _collide_total(ft, rho_r, rho_b, rho, rinv, phi, gx, gy, fx, fy,
+                       ps=None):
         # macroscopic velocity and tau(phi)
         if is_mrt:
             # partial sums shared between jx/jy and the moment transform
-            s1p = ft[1] + ft[3]
+            # (and, when the caller passes `ps`, with the density sum)
+            if ps is None:
+                ps = _pair_sums(ft)
+            s1p = ps["s1p"]
             d1 = ft[1] - ft[3]
-            s2p = ft[2] + ft[4]
+            s2p = ps["s2p"]
             d2 = ft[2] - ft[4]
-            sA = ft[5] + ft[7]
+            sA = ps["sA"]
             p_ = ft[5] - ft[7]
-            sB = ft[6] + ft[8]
+            sB = ps["sB"]
             q_ = ft[6] - ft[8]
             pq = p_ - q_
             ppq = p_ + q_
@@ -743,23 +771,37 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
             my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
-        ux = (mx + 0.5 * fx) * rinv
-        uy = (my + 0.5 * fy) * rinv
+        # jx/jy = rho u exactly (the half-force-corrected momenta); the MRT
+        # equilibrium moments reuse them instead of re-multiplying rho*u
+        jx = mx + 0.5 * fx
+        jy = my + 0.5 * fy
+        ux = jx * rinv
+        uy = jy * rinv
 
-        # inv_tau directly (one divide), tau never materialized
-        if params.tau_type == 1:
+        # inv_tau directly (one divide), tau never materialized; matched
+        # viscosities (tau_r == tau_b, e.g. the flagship bench config)
+        # collapse the whole interpolation to a compile-time scalar —
+        # both TauTypes are exact fixpoints at tau_r == tau_b
+        # (``AcceleratedRKGPU2D.py:1757-1772,1818-1833``)
+        if tau_r == tau_b:
+            inv_tau = 1.0 / tau_r
+        elif params.tau_type == 1:
             # tau_mid = 0.5 + 1/A, A linear in phi
             a0 = 0.5 / (tau_r - 0.5) + 0.5 / (tau_b - 0.5)
             a1 = 0.5 / (tau_r - 0.5) - 0.5 / (tau_b - 0.5)
             amid = a0 + a1 * phi
             inv_mid = amid / (0.5 * amid + 1.0)
+            inv_tau = jnp.where(phi > delta, 1.0 / tau_r,
+                                jnp.where(phi < -delta, 1.0 / tau_b,
+                                          inv_mid))
         else:
             cr = 3.0 / (tau_r - 0.5)
             cb = 3.0 / (tau_b - 0.5)
             q = (rho_r * cr + rho_b * cb) * rinv
             inv_mid = q / (3.0 + 0.5 * q)
-        inv_tau = jnp.where(phi > delta, 1.0 / tau_r,
-                            jnp.where(phi < -delta, 1.0 / tau_b, inv_mid))
+            inv_tau = jnp.where(phi > delta, 1.0 / tau_r,
+                                jnp.where(phi < -delta, 1.0 / tau_b,
+                                          inv_mid))
 
         post = [None] * 9
         if is_mrt:
@@ -784,17 +826,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             m6 = ppq - 2.0 * d2
             m7 = s1p - s2p
             m8 = sA - sB
-            r3u2 = (3.0 * rho) * (ux * ux + uy * uy)
+            r3u2 = 3.0 * (jx * ux + jy * uy)
             uf3 = 3.0 * uf
             md1 = float(s_base[1]) * (m1 + 2.0 * rho - r3u2 + uf3)
             md2 = float(s_base[2]) * (m2 - rho + r3u2 - uf3)
-            rux = rho * ux
-            ruy = rho * uy
-            md4 = float(s_base[4]) * (m4 + rux - 0.5 * fx)
-            md6 = float(s_base[6]) * (m6 + ruy - 0.5 * fy)
-            md7 = inv_tau * (m7 - (rux * ux - ruy * uy)
+            md4 = float(s_base[4]) * (m4 + jx - 0.5 * fx)
+            md6 = float(s_base[6]) * (m6 + jy - 0.5 * fy)
+            md7 = inv_tau * (m7 - (jx * ux - jy * uy)
                              + (ux * fx - uy * fy))
-            md8 = inv_tau * (m8 - rux * uy + 0.5 * (ux * fy + uy * fx))
+            md8 = inv_tau * (m8 - jx * uy + 0.5 * (ux * fy + uy * fx))
             A_ = (md1 + 2.0 * md2) * (-1.0 / 36.0)
             B_ = (2.0 * md1 + md2) * (1.0 / 36.0)
             t4 = md4 * (1.0 / 6.0)
@@ -824,15 +864,21 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 post[i] = fti - (fti - feq[i]) * inv_tau + pref * src[i]
         return post, ux, uy
 
-    def _recolor_red(post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv):
+    def _recolor_red(post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv,
+                     mask=None):
         """LKR red components frac_r*post_i + seg_i, sharing the ±e
-        symmetry of seg (seg_opp = -seg_i)."""
+        symmetry of seg (seg_opp = -seg_i).  With `mask` the factors are
+        zeroed on solid cells so banded-BB streaming can treat pulls from
+        solid as zero contributions."""
         if inward:
             g_rinv_e = g_rinv  # already eps-guarded
         else:
             g_rinv_e = jnp.where(g2 > _EPS * _EPS, g_rinv, 0.0)
         frac_r = rho_r * rinv
         segc = (beta * rho_r * rho_b * rinv) * g_rinv_e
+        if mask is not None:
+            frac_r = frac_r * mask
+            segc = segc * mask
         eg = [None, gx, gy, None, None, gx + gy, gy - gx, None, None]
         fr_post = [None] * 9
         fr_post[0] = frac_r * post[0]
@@ -876,34 +922,73 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return out_r, out_b
 
     # -- compressed sub-step: (f_total list, rho_r) -> same -----------------
-    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y, den_inv, us, final=True):
+    def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y, den_inv, us, final=True,
+                   usb_f=None):
         """``final=False`` (interior sub-steps of a temporal block) skips
         the 10 solid-mask multiplies on the outputs: solid-cell values are
         never read by fluid cells (streaming is upwind-solid guarded, phi
         is a fluid-guarded select, BC ghost copies are covered by the
         static ``_defer_ok`` predicate), so only the last sub-step of a
         call must zero them before the write-back to HBM."""
-        rho = sum(ft)
+        if is_mrt:
+            # opposite-pair partial sums feed both the density and the
+            # moment transform
+            ps = _pair_sums(ft)
+            rho = ft[0] + ((ps["s1p"] + ps["s2p"]) + (ps["sA"] + ps["sB"]))
+        else:
+            ps = None
+            rho = sum(ft)
         rho_b = rho - rho_r
         rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv = \
             _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv)
         post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rinv, phi,
-                                    gx, gy, fx, fy)
+                                    gx, gy, fx, fy, ps=ps)
 
-        # LKR recoloring of the red component only (blue = post - red)
-        fr_post = _recolor_red(post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv)
+        # LKR recoloring of the red component only (blue = post - red).
+        # With banded bounce-back (bb_banded) the factors are pre-masked by
+        # fl so pulls from solid cells contribute zero to the grouped sum.
+        fr_post = _recolor_red(
+            post, rho_r, rho_b, rinv, gx, gy, g2, g_rinv,
+            mask=fl if (bb_banded and bb_any_solid) else None)
 
-        # pull-stream the total PDF; accumulate the streamed red density
+        # pull-stream the total PDF
         out_t = [None] * 9
         out_t[0] = post[0] * fl if final else post[0]
-        rho_r_new = fr_post[0]
         for i in range(1, 9):
             dx, dy = int(e[i, 0]), int(e[i, 1])
             io = int(opp[i])
             pulled = jnp.where(us[i], post[io], sh(post[i], -dx, -dy))
             out_t[i] = pulled * fl if final else pulled
-            rho_r_new = rho_r_new + jnp.where(us[i], fr_post[io],
-                                              sh(fr_post[i], -dx, -dy))
+
+        # streamed red density.  Banded-BB form: rho_r' is a SUM of pulled
+        # planes, so the nine shifts group by e_y (x-shift each member,
+        # one y-roll per row group: 6 x-rolls + 2 y-rolls instead of 12
+        # roll-ops), solid sources contribute zero (pre-masked factors),
+        # and the bounce-back replacement Σ_i us_i·fr_post_opp(i) — nonzero
+        # only in the wall lane bands — is added back as a pointwise
+        # banded correction.
+        if bb_banded:
+            gmid = fr_post[0] + _rollx(fr_post[1], -1, nx) + \
+                _rollx(fr_post[3], 1, nx)
+            gup = _rolly(fr_post[2] + _rollx(fr_post[5], -1, nx) +
+                         _rollx(fr_post[6], 1, nx), -1, W)
+            gdn = _rolly(fr_post[4] + _rollx(fr_post[7], 1, nx) +
+                         _rollx(fr_post[8], -1, nx), 1, W)
+            rho_r_new = gmid + gup + gdn
+            if bb_any_solid:
+                corr_b = None
+                for j in range(1, 9):
+                    t = usb_f[j] * _xband(fr_post[j])
+                    corr_b = t if corr_b is None else corr_b + t
+                rho_r_new = _unband(rho_r_new,
+                                    _xband(rho_r_new) + corr_b)
+        else:
+            rho_r_new = fr_post[0]
+            for i in range(1, 9):
+                dx, dy = int(e[i, 0]), int(e[i, 1])
+                io = int(opp[i])
+                rho_r_new = rho_r_new + jnp.where(us[i], fr_post[io],
+                                                  sh(fr_post[i], -dx, -dy))
         if final:
             rho_r_new = rho_r_new * fl
         return out_t, rho_r_new
@@ -1314,7 +1399,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return f_r, f_b
 
     use_scratch = (not interpret) and ((bc_sliced and has_bcs)
-                                       or wet_banded)
+                                       or wet_banded or bb_banded)
 
     def kernel(*refs):
         if use_scratch:
@@ -1359,6 +1444,14 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         solid = 1.0 - fl
         us = [None] + [sh(solid, -int(e[i, 0]), -int(e[i, 1])) > 0.5
                        for i in range(1, 9)]
+        if bb_banded:
+            # banded bounce-back replacement masks us_opp(j), as 0/1 floats
+            # on the wall lane band (pointwise corr in _substep_c)
+            usb_f = ([None] + [_xband(us[int(opp[j])]).astype(dtype)
+                               for j in range(1, 9)]) if bb_any_solid \
+                else None
+        else:
+            usb_f = None
         if has_transport:
             us5 = [None] + [
                 sh(solid, -int(E5[i, 0]), -int(E5[i, 1])) > 0.5
@@ -1444,7 +1537,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                                 final=_final)
                 else:
                     ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y,
-                                           den_inv, us, final=_final)
+                                           den_inv, us, final=_final,
+                                           usb_f=usb_f)
             else:
                 if has_bcs:
                     if interpret:

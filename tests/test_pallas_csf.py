@@ -626,3 +626,31 @@ def test_coupled_redistribute_fused_matches_jnp():
     assert flipped > 0   # the window exercised the redistribution
     assert float(jnp.max(jnp.abs(a.f_r - fr))) < 1e-12
     assert float(jnp.max(jnp.abs(a.g - g))) < 1e-12
+
+
+def test_bb_banded_grouped_streaming_matches_jnp_f64():
+    """Banded bounce-back rho_r streaming (grouped rolls + pointwise wall
+    band correction; engaged when all solid columns sit in the edge lane
+    blocks, as in the flagship bench geometry) must match the jnp
+    compressed step at f64 1e-12 through a T=4 deferred-masking block with
+    full BC choreography."""
+    ny, nx = 64, 512
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.1,
+        tau_r=1.0, tau_b=1.0, tau_type=2, wetting_type=2,
+        contact_angle_deg=60.0, beta=0.7, delta=0.98)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float64, use_pallas=False)
+    fused = m.make_block_step(steps_per_call=4, rows_per_block=16,
+                              compressed=True, interpret=True)
+    assert fused is not None
+    s = m.pack_state(*m.init_state_layers(1.0, 1.0, invading_rows=12))
+    s2 = fused(s)
+    for _ in range(4):
+        s = m._step_impl_c(s)
+    assert float(jnp.max(jnp.abs(s - s2))) < 1e-12

@@ -156,6 +156,30 @@ def test_cli_run_cg_small(tmp_path):
     assert rc2 == 0
 
 
+def test_cli_run_with_profile(tmp_path):
+    """--profile DIR captures a jax.profiler trace of the first
+    post-compile chunk (phases annotated via jax.named_scope in the
+    step; SURVEY.md section 5 tracing guidance)."""
+    cfg = str(tmp_path / "small.ini")
+    with open(os.path.join(CONFIGS, "rk_csf2d.ini")) as fh:
+        txt = fh.read()
+    txt = txt.replace("xDomain = 128", "xDomain = 24")
+    txt = txt.replace("yDomain = 256", "yDomain = 48")
+    txt = txt.replace("numBufferingLayers = 10", "numBufferingLayers = 0")
+    txt = txt.replace("TimeSteps = 20000", "TimeSteps = 20")
+    txt = txt.replace("TimeInterval = 2500", "TimeInterval = 5")
+    with open(cfg, "w") as fh:
+        fh.write(txt)
+    out = str(tmp_path / "out")
+    trace = str(tmp_path / "trace")
+    rc = cli_main(["run", cfg, "--model", "cg", "--output", out,
+                   "--no-pallas", "--profile", trace])
+    assert rc == 0
+    captured = [os.path.join(dp, f) for dp, _, fs in os.walk(trace)
+                for f in fs]
+    assert captured, "profiler trace directory is empty"
+
+
 def test_cli_inspect(tmp_path, capsys):
     rc = cli_main(["inspect", os.path.join(CONFIGS, "rk_csf2d.ini"),
                    "--model", "cg"])
