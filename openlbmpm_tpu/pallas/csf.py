@@ -151,6 +151,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          transport_params=None,
                          state_mode: str = "split",
                          local_ny: int | None = None,
+                         local_nx: int | None = None,
                          interpret: bool = False,
                          band_wetting: bool = True):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
@@ -180,8 +181,22 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     neighbors over ICI, the matching local+halo geometry slabs, and the
     shard's global row offset (scalar-prefetched so BC rows resolve
     against *global* row indices).
+
+    ``local_nx`` (with ``local_ny``; 2-D mesh decomposition) is the
+    x-PADDED local width: the caller concatenates Hx halo lanes received
+    from the x ring neighbors onto each side of its local columns before
+    the call and slices the center after.  The kernel's circular lane
+    rolls then contaminate at most 4 lanes per sub-step inward from the
+    padded edges — the same validity argument as the y strip windows —
+    so the center columns stay exact for Hx >= 4T.  Lane-banded fast
+    paths (wetting band, banded bounce-back) key on absolute global
+    column positions and are disabled.
     """
     ny, nx = geometry.shape
+    if local_nx is not None:
+        if local_ny is None or state_mode != "compressed":
+            return None
+        nx = int(local_nx)
     variant = params.variant
     is_pert = variant == "Perturbation"
     compressed = state_mode == "compressed"
@@ -490,7 +505,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     # Consumers at the band's outer edge columns (127, nx-128) would tap
     # garbage across the band wrap, so they disable the banding.
     wet_banded = False
-    if band_wetting and has_wetting and nx % 128 == 0 and nx // 128 >= 4:
+    if band_wetting and has_wetting and local_nx is None \
+            and nx % 128 == 0 and nx // 128 >= 4:
         cons = (geometry.is_solid & (geo_np[4] > 0)).any(axis=0) | \
             wet_fluid.astype(bool).any(axis=0)
         cols = np.where(cons)[0]
@@ -506,7 +522,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     # selects.
     bb_banded = False
     bb_any_solid = bool(geometry.is_solid.any())
-    if compressed and not is_pert and nx % 128 == 0 and nx // 128 >= 4:
+    if compressed and not is_pert and local_nx is None \
+            and nx % 128 == 0 and nx // 128 >= 4:
         if not bb_any_solid:
             bb_banded = True   # fully periodic: grouped sum, no correction
         else:
@@ -1700,17 +1717,24 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
                            steps_per_call: int = 1,
                            bc_config=None,
                            interpret: bool = False):
-    """Compressed fused CSF/Perturbation step under a y-sharded mesh.
+    """Compressed fused CSF/Perturbation step under a y- or (y, x)-sharded
+    mesh.
 
-    The domain is row-decomposed over the mesh "y" axis (x stays on-shard:
-    the kernel's lane rolls give exact x periodicity only over the full
-    width).  Per call, each shard exchanges H halo rows of the state and
-    the static geometry with its ring neighbors via ``lax.ppermute`` over
-    ICI, then runs the local-grid kernel; boundary-condition rows resolve
-    against global row indices through a scalar-prefetched shard offset,
-    so the same program serves every shard (SPMD).  Returns
-    ``step(s) -> s'`` on the globally-sharded (10, ny, nx) state, or None
-    when the decomposition does not apply.
+    The domain is row-decomposed over the mesh "y" axis and (optionally)
+    column-decomposed over the mesh "x" axis.  Per call, each shard
+    exchanges H halo rows of the state and the static geometry with its
+    ring neighbors via ``lax.ppermute`` over ICI, then runs the local-grid
+    kernel; boundary-condition rows resolve against global row indices
+    through a scalar-prefetched shard offset, so the same program serves
+    every shard (SPMD).  With an "x" axis of size > 1, Hx halo LANES are
+    exchanged over the "x" ring first and concatenated onto the local
+    columns; the following y exchange then ships rows of the x-padded
+    arrays, so the diagonal-neighbor corner data rides along for free.
+    The kernel runs on the padded width (``local_nx``; the circular lane
+    rolls stay exact on the center columns for Hx >= 4T) and the center
+    is sliced back out.  Returns ``step(s) -> s'`` on the
+    globally-sharded (10, ny, nx) state, or None when the decomposition
+    does not apply.
     """
     from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1722,24 +1746,41 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
     ny, nx = geometry.shape
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_sh = axis_sizes.get("y", 1)
-    if axis_sizes.get("x", 1) != 1 or ny % n_sh:
+    n_sx = axis_sizes.get("x", 1)
+    if ny % n_sh or nx % n_sx:
         return None
     ny_loc = ny // n_sh
+    nx_loc = nx // n_sx
     T = int(steps_per_call)
     H = _halo_rows(T, params.variant)
+    Hx = H if n_sx > 1 else 0
+    if n_sx > 1 and nx_loc <= 2 * Hx:
+        return None
     local = build_csf_fused_step(
         geometry, params, dtype, rows_per_block, steps_per_call, bc_config,
-        state_mode="compressed", local_ny=ny_loc, interpret=interpret)
+        state_mode="compressed", local_ny=ny_loc,
+        local_nx=(nx_loc + 2 * Hx) if n_sx > 1 else None,
+        interpret=interpret)
     if local is None:
         return None
 
-    spec = P(None, "y", None)
+    spec = P(None, "y", "x") if n_sx > 1 else P(None, "y", None)
     geo = jax.device_put(jnp.asarray(geo_stack(geometry), dtype),
                          NamedSharding(mesh, spec))
     fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
     bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+    xfwd = [(j, (j + 1) % n_sx) for j in range(n_sx)]
+    xbwd = [(j, (j - 1) % n_sx) for j in range(n_sx)]
 
     def _local_step(s_loc, geo_loc):
+        def xpad(x):
+            # global x periodicity comes from the ring permute (shard 0's
+            # left halo is shard n_sx-1's right edge), matching the
+            # full-width kernel's circular lane rolls
+            left = lax.ppermute(x[:, :, -Hx:], "x", xfwd)
+            right = lax.ppermute(x[:, :, :Hx], "x", xbwd)
+            return jnp.concatenate([left, x, right], axis=2)
+
         def halo(x):
             up = lax.ppermute(x[:, -H:, :], "y", fwd)
             dn = lax.ppermute(x[:, :H, :], "y", bwd)
@@ -1747,9 +1788,15 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
 
         row0 = jnp.reshape(
             (lax.axis_index("y") * ny_loc).astype(jnp.int32), (1,))
+        if n_sx > 1:
+            s_loc = xpad(s_loc)
+            geo_loc = xpad(geo_loc)
         up, dn = halo(s_loc)
         gup, gdn = halo(geo_loc)
-        return local(s_loc, up, dn, geo_loc, gup, gdn, row0)
+        out = local(s_loc, up, dn, geo_loc, gup, gdn, row0)
+        if n_sx > 1:
+            out = out[:, :, Hx:Hx + nx_loc]
+        return out
 
     # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
     sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),

@@ -201,6 +201,44 @@ def test_fused_compressed_sharded_equals_single(t_block, ny, nx, rows):
                                rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("t_block", [1, 2])
+def test_fused_compressed_2d_mesh_equals_single(t_block):
+    """Fused 2-D mesh decomposition (VERDICT round 3, item 6): the
+    compressed fused kernel under shard_map on a (2, 4) 'y' x 'x' mesh —
+    row halos AND lane halos over ppermute rings, corner data riding the
+    y exchange of the x-padded arrays — matches the single-device
+    compressed jnp step at 1e-12 with full BC choreography."""
+    from openlbmpm_tpu.pallas.csf import build_csf_sharded_step
+
+    ny, nx = 64, 256
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(variant="CSF", collision="MRT",
+                                 surface_tension=0.01, tau_type=2,
+                                 wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    model = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                            dtype=jnp.float64, use_pallas=False)
+    mesh = make_mesh(shape=(2, 4))
+    step = build_csf_sharded_step(model.geo, params, mesh, jnp.float64,
+                                  rows_per_block=16,
+                                  steps_per_call=t_block,
+                                  bc_config=bcs, interpret=True)
+    assert step is not None
+    s_ref = model.pack_state(*model.init_state_layers(1.0, 1.0,
+                                                      invading_rows=12))
+    s_sh = jax.device_put(s_ref, domain_sharding(mesh, 3))
+    for _ in range(4):
+        s_ref = model._step_impl_c(s_ref)
+    jstep = jax.jit(step)
+    for _ in range(4 // t_block):
+        s_sh = jstep(s_sh)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_sh),
+                               rtol=0, atol=1e-12)
+
+
 def test_cg3d_fused_sharded_equals_single():
     """The compressed fused D3Q19 step under a z-sharded mesh (ppermute
     halo slabs + BC prologue on the global array) matches the
