@@ -742,22 +742,6 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             src[io] = c - d
         return feq, src
 
-    def _src9(ux, uy, fx, fy):
-        """Guo source terms src_i = w_i[3(e·F − u·F) + 9(e·u)(e·F)] for
-        all 9 directions with ±e pair sharing; returns (src, u·F)."""
-        uf = ux * fx + uy * fy
-        eu = [None, ux, uy, None, None, ux + uy, uy - ux, None, None]
-        ef = [None, fx, fy, None, None, fx + fy, fy - fx, None, None]
-        src = [None] * 9
-        src[0] = (4.0 / 9.0) * (-3.0) * uf
-        for i, io in _PAIRS:
-            wi = float(w_lat[i])
-            c = wi * (9.0 * eu[i] * ef[i] - 3.0 * uf)
-            d = (3.0 * wi) * ef[i]
-            src[i] = c + d
-            src[io] = c - d
-        return src, uf
-
     def _pair_sums(ft):
         """Opposite-pair sums of the total PDF, shared between the density
         (rho = ft0 + S + D), jx/jy, and the MRT moment transform."""
@@ -825,15 +809,26 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # Moment-space MRT on the Gram-Schmidt basis (the reference
             # relaxes in moment space too: calRKCollision1TotalGPU2DMRTM +
             # moment-space Guo force, AcceleratedRKGPU2D.py:1938-2025,2027):
-            # md_a = s_a (m_a(f) − m_a^eq + S_a/2) with closed-form
-            # equilibrium moments m^eq = (ρ, ρ(3u²−2), ρ(1−3u²), jx, −jx,
-            # jy, −jy, ρ(ux²−uy²), ρ ux uy) and force moments S = (0,
-            # 6u·F, −6u·F, Fx, −Fx, Fy, −Fy, 2(ux Fx − uy Fy),
-            # ux Fy + uy Fx); the sparse-coefficient inverse transform
-            # reconstructs f' = f + src − M⁻¹ md.  Replaces the explicit
-            # 9×9 double transform (~2x fewer VPU ops; feq per direction
-            # is never materialized).
-            src, uf = _src9(ux, uy, fx, fy)
+            # f' = f + M⁻¹[−S(m − m^eq) + (I − S/2)F_m] computed ENTIRELY
+            # in moment space — the Guo force is never materialized per
+            # direction.  vd_a = s_a(m_a − m_a^eq) − (1 − s_a/2)F_a for the
+            # relaxed channels (closed-form m^eq = (ρ, ρ(3u²−2), ρ(1−3u²),
+            # jx, −jx, jy, −jy, ρ(ux²−uy²), ρ ux uy); force moments F_m =
+            # (0, 6u·F, −6u·F, Fx, −Fx, Fy, −Fy, 2(ux Fx − uy Fy),
+            # ux Fy + uy Fx)); the conserved channels a=3,5 (s_a = 0)
+            # contribute pure force terms whose M⁻¹ columns are e_i/6, so
+            # they fold into the existing ± pair groupings (t4/t6/up/vp)
+            # as fx/6, fy/6 shifts.  post_i = ft_i − (M⁻¹ vd)_i via the
+            # sparse-coefficient reconstruction; ~30 fewer VPU ops per
+            # sub-step than the direction-space-source form.
+            a_ = ux * fx
+            b_ = uy * fy
+            uf = a_ + b_                     # u·F
+            q7 = a_ - b_                     # ux Fx − uy Fy  (F7 / 2)
+            r8 = ux * fy + uy * fx           # F8
+            p1 = jx * ux
+            p2 = jy * uy
+            r3u2 = 3.0 * (p1 + p2)           # 3 ρ u²
             S_ = s1p + s2p
             D_ = sA + sB
             f04 = 4.0 * ft[0]
@@ -843,36 +838,44 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             m6 = ppq - 2.0 * d2
             m7 = s1p - s2p
             m8 = sA - sB
-            r3u2 = 3.0 * (jx * ux + jy * uy)
-            uf3 = 3.0 * uf
-            md1 = float(s_base[1]) * (m1 + 2.0 * rho - r3u2 + uf3)
-            md2 = float(s_base[2]) * (m2 - rho + r3u2 - uf3)
-            md4 = float(s_base[4]) * (m4 + jx - 0.5 * fx)
-            md6 = float(s_base[6]) * (m6 + jy - 0.5 * fy)
-            md7 = inv_tau * (m7 - (jx * ux - jy * uy)
-                             + (ux * fx - uy * fy))
-            md8 = inv_tau * (m8 - jx * uy + 0.5 * (ux * fy + uy * fx))
-            A_ = (md1 + 2.0 * md2) * (-1.0 / 36.0)
-            B_ = (2.0 * md1 + md2) * (1.0 / 36.0)
-            t4 = md4 * (1.0 / 6.0)
-            t6 = md6 * (1.0 / 6.0)
-            t7 = md7 * 0.25
-            t8 = md8 * 0.25
-            up = 0.5 * (t4 + t6)
-            vp = 0.5 * (t4 - t6)
+            s1_, s2_ = float(s_base[1]), float(s_base[2])
+            s4_, s6_ = float(s_base[4]), float(s_base[6])
+            vd1 = s1_ * (m1 + 2.0 * rho - r3u2) + (3.0 * s1_ - 6.0) * uf
+            vd2 = s2_ * (m2 - rho + r3u2) + (6.0 - 3.0 * s2_) * uf
+            vd4 = s4_ * (m4 + jx) + (1.0 - 0.5 * s4_) * fx
+            vd6 = s6_ * (m6 + jy) + (1.0 - 0.5 * s6_) * fy
+            if tau_r == tau_b:
+                # compile-time 1/tau: fold (1 − s/2)F into scalar coeffs
+                vd7 = inv_tau * (m7 - (p1 - p2)) + (inv_tau - 2.0) * q7
+                vd8 = inv_tau * (m8 - jx * uy) + (0.5 * inv_tau - 1.0) * r8
+            else:
+                vd7 = inv_tau * (m7 - (p1 - p2) + q7) - 2.0 * q7
+                vd8 = inv_tau * (m8 - jx * uy + 0.5 * r8) - r8
+            A_ = (vd1 + 2.0 * vd2) * (-1.0 / 36.0)
+            B_ = (2.0 * vd1 + vd2) * (1.0 / 36.0)
+            tfx = fx * (1.0 / 6.0)
+            tfy = fy * (1.0 / 6.0)
+            t4 = vd4 * (1.0 / 6.0)
+            t6 = vd6 * (1.0 / 6.0)
+            t7 = vd7 * 0.25
+            t8 = vd8 * 0.25
+            up = 0.5 * (t4 + t6) - (tfx + tfy)
+            vp = 0.5 * (t4 - t6) + (tfy - tfx)
+            t4 = t4 + tfx
+            t6 = t6 + tfy
             At7 = A_ + t7
             Am7 = A_ - t7
             Bp = B_ + t8
             Bm = B_ - t8
-            post[0] = ft[0] + src[0] - (md2 - md1) * (1.0 / 9.0)
-            post[1] = ft[1] + src[1] - (At7 - t4)
-            post[3] = ft[3] + src[3] - (At7 + t4)
-            post[2] = ft[2] + src[2] - (Am7 - t6)
-            post[4] = ft[4] + src[4] - (Am7 + t6)
-            post[5] = ft[5] + src[5] - (Bp + up)
-            post[7] = ft[7] + src[7] - (Bp - up)
-            post[6] = ft[6] + src[6] - (Bm - vp)
-            post[8] = ft[8] + src[8] - (Bm + vp)
+            post[0] = ft[0] - (vd2 - vd1) * (1.0 / 9.0)
+            post[1] = ft[1] - (At7 - t4)
+            post[3] = ft[3] - (At7 + t4)
+            post[2] = ft[2] - (Am7 - t6)
+            post[4] = ft[4] - (Am7 + t6)
+            post[5] = ft[5] - (Bp + up)
+            post[7] = ft[7] - (Bp - up)
+            post[6] = ft[6] - (Bm - vp)
+            post[8] = ft[8] - (Bm + vp)
         else:
             feq, src = _feq_src(rho, ux, uy, fx, fy)
             pref = 1.0 - 0.5 * inv_tau
