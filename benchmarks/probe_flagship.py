@@ -6,8 +6,11 @@ Prints one line per (T, R): compile status + MLUPS.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -19,9 +22,14 @@ from openlbmpm_tpu.models.colorgradient import (
 
 
 def main():
-    combos = [(4, 256), (4, 512), (8, 128), (8, 256), (6, 256)]
+    combos = [(4, 256, "f32"), (4, 512, "f32"), (8, 128, "f32"),
+              (8, 256, "f32"), (6, 256, "f32")]
     if len(sys.argv) > 1:
-        combos = [tuple(int(v) for v in a.split(",")) for a in sys.argv[1:]]
+        combos = []
+        for a in sys.argv[1:]:
+            parts = a.split(",")
+            combos.append((int(parts[0]), int(parts[1]),
+                           parts[2] if len(parts) > 2 else "f32"))
 
     ny = nx = 1024
     solid = np.zeros((ny, nx), bool)
@@ -36,15 +44,16 @@ def main():
     model = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
                             dtype=jnp.float32)
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_rows=100)
-    s0 = model.pack_state(f_r, f_b)
 
-    for t_block, rows in combos:
+    for t_block, rows, storage in combos:
+        s0 = (model.pack_state_bf16(f_r, f_b) if storage == "bf16"
+              else model.pack_state(f_r, f_b))
         try:
             block = model.make_block_step(steps_per_call=t_block,
                                           rows_per_block=rows,
-                                          compressed=True)
+                                          compressed=True, storage=storage)
             if block is None:
-                print(f"T={t_block} R={rows}: no decomposition")
+                print(f"T={t_block} R={rows} {storage}: no decomposition")
                 continue
 
             def steps(n_calls, s):
@@ -63,12 +72,12 @@ def main():
                 dt = min(dt, time.perf_counter() - t0)
             mlups = ny * nx * (n_calls * t_block) / dt / 1e6
             ok = bool(jnp.isfinite(state).all())
-            print(f"T={t_block} R={rows}: {mlups:.0f} MLUPS "
+            print(f"T={t_block} R={rows} {storage}: {mlups:.0f} MLUPS "
                   f"({dt / (n_calls * t_block) * 1e3:.3f} ms/step) finite={ok}",
                   flush=True)
         except Exception as e:  # VMEM overflow etc.
             msg = str(e).split("\n")[0][:160]
-            print(f"T={t_block} R={rows}: FAIL {msg}", flush=True)
+            print(f"T={t_block} R={rows} {storage}: FAIL {msg}", flush=True)
 
 
 if __name__ == "__main__":

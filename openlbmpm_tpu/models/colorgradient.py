@@ -181,20 +181,24 @@ class ColorGradientRK:
     def make_block_step(self, steps_per_call: int = 2,
                         rows_per_block: int | None = None,
                         compressed: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        storage: str = "f32"):
         """Temporally-blocked fused step: advances `steps_per_call` time
         steps per call with boundary rows applied in-kernel between
         sub-steps.  HBM traffic per step drops ~steps_per_call-x on
         DMA-bound domains.  With ``compressed`` the step maps the 10-plane
         packed state ``s -> s'`` (see ``pack_state``), a further ~1.8x
-        traffic cut.  Returns None when the domain does not
+        traffic cut.  ``storage='bf16'`` (compressed only) maps the
+        11-plane bf16 state instead (``pack_state_bf16``; opt-in ~2e-3
+        relative storage rounding on the PDF deviations, f32-grade rho_r
+        via the hi/lo pair).  Returns None when the domain does not
         strip-decompose."""
         from ..pallas.csf import build_csf_fused_step
         return build_csf_fused_step(
             self.geo, self.p, self.dtype, rows_per_block,
             steps_per_call=steps_per_call, bc_config=self.bcs,
             state_mode="compressed" if compressed else "split",
-            interpret=interpret)
+            interpret=interpret, storage=storage)
 
     # -- initial conditions ----------------------------------------------
     def init_state_layers(self, rho_r: float = 1.0, rho_b: float = 1.0,
@@ -310,6 +314,25 @@ class ColorGradientRK:
         retained — rho_r at t+1 is the streamed sum of the recolored red
         populations, reconstructed inside the step)."""
         return jnp.concatenate([f_r + f_b, mac.density(f_r)[None]], axis=0)
+
+    def pack_state_bf16(self, f_r, f_b):
+        """11-plane bfloat16 state for ``storage='bf16'``: shifted total
+        PDFs ``f_total_i - w_i·fl`` (9) + rho_r as a bf16 hi/lo pair (2).
+        See pallas/csf.py build_csf_fused_step(storage='bf16')."""
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(-1, 1, 1)
+        fdev = ((f_r + f_b) - w * self.fluid_mask[None]) \
+            .astype(jnp.bfloat16)
+        rho_r = mac.density(f_r)
+        hi = rho_r.astype(jnp.bfloat16)
+        lo = (rho_r - hi.astype(self.dtype)).astype(jnp.bfloat16)
+        return jnp.concatenate([fdev, hi[None], lo[None]], axis=0)
+
+    def unpack_bf16(self, s):
+        """bf16 11-plane state -> f32 compressed 10-plane state."""
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(-1, 1, 1)
+        f_tot = s[:9].astype(self.dtype) + w * self.fluid_mask[None]
+        rho_r = s[9].astype(self.dtype) + s[10].astype(self.dtype)
+        return jnp.concatenate([f_tot, rho_r[None]], axis=0)
 
     def rho_fields_c(self, s):
         rho = mac.density(s[:9])

@@ -218,6 +218,11 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # Geometry costs 10 window planes of VMEM: 4 packed inputs plus
         # the 6 decoded logical channels.
         n_tr = 9 * NT if has_transport else 0
+        # buffer bytes follow the storage dtype (bf16 windows are 2-byte,
+        # which is what lets R=16 — halo amplification 1.5 — fit where
+        # f32 stalls at R=8); the kernel's f32 scoped intermediates keep
+        # the other half of the empirical 2x headroom pinned at 4 bytes.
+        bpe = 2 if bf16 else 4
         for r in (32, 16, 8, 4, 2):
             if grid_nz % r:
                 continue
@@ -226,7 +231,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 continue
             planes = (n_state + 10 + n_tr) * (r + 2 * h) + \
                 (n_state + n_tr) * r
-            mb = planes * ny * nx * 4 * 2.0 / 2**20
+            mb = planes * ny * nx * (bpe + 4.0) / 2**20
             if mb <= 110:
                 slabs_per_block = r
                 break

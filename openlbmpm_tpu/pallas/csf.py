@@ -153,7 +153,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          local_ny: int | None = None,
                          local_nx: int | None = None,
                          interpret: bool = False,
-                         band_wetting: bool = True):
+                         band_wetting: bool = True,
+                         storage: str = "f32"):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
     `transport_params` the coupled step ``(f_r, f_b, g) -> (f_r', f_b',
     g')`` advancing phase-confined tracers alongside the flow (the fused
@@ -229,6 +230,14 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_local = local_ny is not None
     if is_local and (not compressed or has_transport):
         return None  # sharded fused path is compressed-only, flow-only
+    # bf16 shifted-PDF storage (opt-in, compressed flow-only): the HBM
+    # state becomes 11 bfloat16 planes — 9 *deviations* f_i - w_i*fl plus
+    # rho_r as a hi/lo bf16 pair (exact to ~2^-17, f32-grade phase field)
+    # — halving the kernel's HBM traffic; all VMEM arithmetic stays f32.
+    # Same scheme as pallas/cg3d.py storage="bf16" (see its docstring).
+    bf16 = storage == "bf16"
+    if bf16 and (not compressed or has_transport or is_local):
+        return None
     grid_ny = int(local_ny) if is_local else ny
     T = int(steps_per_call)
     H = _halo_rows(T, variant, tr_mode if has_transport else None)
@@ -656,16 +665,20 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         safe = g2 > (_EPS * _EPS if inward else 0.0)
         g_rinv = jnp.where(safe, jax.lax.rsqrt(jnp.where(safe, g2, 1.0)),
                            0.0)
-        nhx = (sign * gx * g_rinv) * fl
-        nhy = (sign * gy * g_rinv) * fl
-        nhxy = jnp.stack([nhx, nhy])
-        gx_s, gy_s = _grad2d(nhxy, 1.0 / 3.0, 1.0 / 12.0)
-        dx_nx, dx_ny = gx_s[0], gx_s[1]
-        dy_nx, dy_ny = gy_s[0], gy_s[1]
+        # the orientation sign drops out: kappa is odd in the unit normal
+        # (cubic terms) and F = sign * 0.5 sigma kappa grad(phi) is even,
+        # and +-1 multiplies are exact in FP, so the inward orientation
+        # (`sign`) needs no flips here — bit-identical force either way
+        c_n = g_rinv * fl
+        nhx = gx * c_n
+        nhy = gy * c_n
+        dx_nx, dy_nx = _grad2d(nhx, 1.0 / 3.0, 1.0 / 12.0)
+        dx_ny, dy_ny = _grad2d(nhy, 1.0 / 3.0, 1.0 / 12.0)
         kappa = nhx * nhy * (dx_ny + dy_nx) - nhy * nhy * dx_nx \
             - nhx * nhx * dy_ny
-        fx = sign * 0.5 * sigma * kappa * gx
-        fy = sign * 0.5 * sigma * kappa * gy
+        ks = (0.5 * sigma) * kappa
+        fx = ks * gx
+        fy = ks * gy
         if bfx or bfy:
             fx = fx + bfx * rho
             fy = fy + bfy * rho
@@ -1479,8 +1492,15 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
         if compressed:
             s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
-            ft = [s[i] for i in range(9)]
-            rho_r = s[9]
+            if bf16:
+                # unshift the stored deviations to f32 once per window;
+                # all physics below runs f32 in VMEM
+                ft = [s[i].astype(dtype) + float(w_lat[i]) * fl
+                      for i in range(9)]
+                rho_r = s[9].astype(dtype) + s[10].astype(dtype)
+            else:
+                ft = [s[i] for i in range(9)]
+                rho_r = s[9]
         else:
             f_r = jnp.concatenate([fr_u[:], fr_c[:], fr_d[:]], axis=1)
             f_b = jnp.concatenate([fb_u[:], fb_c[:], fb_d[:]], axis=1)
@@ -1582,9 +1602,19 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                       den_inv, us, final=_final)
         if compressed:
             out_s = outs[0]
-            for i in range(9):
-                out_s[i] = ft[i][H:H + R]
-            out_s[9] = rho_r[H:H + R]
+            if bf16:
+                flc = fl[H:H + R]
+                for i in range(9):
+                    out_s[i] = (ft[i][H:H + R] -
+                                float(w_lat[i]) * flc).astype(jnp.bfloat16)
+                rc = rho_r[H:H + R]
+                hi = rc.astype(jnp.bfloat16)
+                out_s[9] = hi
+                out_s[10] = (rc - hi.astype(dtype)).astype(jnp.bfloat16)
+            else:
+                for i in range(9):
+                    out_s[i] = ft[i][H:H + R]
+                out_s[9] = rho_r[H:H + R]
             if has_transport:
                 out_g = outs[1]
                 for t in range(NT):
@@ -1601,7 +1631,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 for i in range(NQ):
                     out_g[t, i] = g[t][i][H:H + R]
 
-    n_st = 10 if compressed else 9
+    n_st = (11 if bf16 else 10) if compressed else 9
+    st_dtype = jnp.bfloat16 if bf16 else dtype
     center = pl.BlockSpec((n_st, R, nx), lambda i: (0, i, 0))
     halo_up = pl.BlockSpec((n_st, H, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
@@ -1637,8 +1668,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     elif compressed:
         in_specs = [center, halo_up, halo_dn,
                     gcenter, ghalo_up, ghalo_dn]
-        out_specs = [pl.BlockSpec((10, R, nx), lambda i: (0, i, 0))]
-        out_shape = [jax.ShapeDtypeStruct((10, ny, nx), dtype)]
+        out_specs = [pl.BlockSpec((n_st, R, nx), lambda i: (0, i, 0))]
+        out_shape = [jax.ShapeDtypeStruct((n_st, ny, nx), st_dtype)]
     else:
         in_specs = [center, halo_up, halo_dn,
                     center, halo_up, halo_dn,

@@ -654,3 +654,42 @@ def test_bb_banded_grouped_streaming_matches_jnp_f64():
     for _ in range(4):
         s = m._step_impl_c(s)
     assert float(jnp.max(jnp.abs(s - s2))) < 1e-12
+
+
+def test_csf_bf16_storage_tracks_f32():
+    """2D bf16 shifted-PDF storage (storage='bf16') tracks the f32
+    compressed trajectory: PDF planes inherit the bf16 rounding of the
+    stored *deviations* f_i - w_i*fl, while rho_r rides a hi/lo bf16 pair
+    (exact to ~2^-17) so the phase field keeps f32-grade precision.
+    Mirrors the 3D scheme (pallas/cg3d.py storage='bf16')."""
+    m = _model(True, "MRT")
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="convective",
+                           inlet_velocity=-1e-4)
+    m2 = ColorGradientRK(m.geo, m.p, bcs, dtype=jnp.float32,
+                         use_pallas=False)
+    f32_step = m2.make_block_step(steps_per_call=2, rows_per_block=16,
+                                  compressed=True, interpret=True)
+    bf_step = m2.make_block_step(steps_per_call=2, rows_per_block=16,
+                                 compressed=True, interpret=True,
+                                 storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    a, b = m2.init_state_layers(1.0, 1.0, invading_rows=10)
+    s = m2.pack_state(a, b)
+    h = m2.pack_state_bf16(a, b)
+
+    # pack/unpack round-trip: deviation rounding only
+    rt = m2.unpack_bf16(h)
+    assert float(jnp.max(jnp.abs(rt[:9] - s[:9]))) < 2e-3
+    assert float(jnp.max(jnp.abs(rt[9] - s[9]))) < 2e-5
+
+    for _ in range(3):
+        s = f32_step(s)
+        h = bf_step(h)
+    assert h.dtype == jnp.bfloat16 and h.shape[0] == 11
+    u = m2.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    assert float(jnp.max(jnp.abs(u[:9] - s[:9]))) < 5e-3
+    assert float(jnp.max(jnp.abs(u[9] - s[9]))) < 2e-2
+    # per-color mass conservation within storage rounding
+    assert abs(float(jnp.sum(u[9]) - jnp.sum(s[9]))) / \
+        float(jnp.sum(s[9])) < 1e-3
