@@ -89,15 +89,18 @@ def main():
                             dtype=jnp.float32)
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_rows=100)
 
-    # temporally-blocked fused Pallas kernel on the compressed 10-plane
-    # (f_total, rho_r) state: 4 time steps per launch with the boundary
-    # rows applied in-kernel (models/colorgradient make_block_step);
-    # falls back to the single-step split path off-TPU.
+    # temporally-blocked fused Pallas kernel on the compressed bf16
+    # 11-plane (shifted f_total deviations, rho_r hi/lo) state: 4 time
+    # steps per launch with the boundary rows applied in-kernel
+    # (models/colorgradient make_block_step, storage="bf16" — all VMEM
+    # arithmetic stays f32, only HBM storage is bf16; the phase field
+    # keeps f32-grade precision through the rho_r hi/lo pair); falls
+    # back to the single-step split path off-TPU.
     t_block = 4
     block = model.make_block_step(steps_per_call=t_block, rows_per_block=256,
-                                  compressed=True)
+                                  compressed=True, storage="bf16")
     if block is not None:
-        state = (model.pack_state(f_r, f_b),)
+        state = (model.pack_state_bf16(f_r, f_b),)
     else:
         t_block = 1
         block = model._step_impl
@@ -134,7 +137,8 @@ def main():
     sites = int(np.prod((ny, nx)))
     mlups = sites * n_steps / dt / 1e6
     print(json.dumps({
-        "metric": "MLUPS/chip (1024^2 D2Q9 CSF color-gradient two-phase, MRT)",
+        "metric": "MLUPS/chip (1024^2 D2Q9 CSF color-gradient two-phase, "
+                  "MRT, bf16 HBM storage / f32 compute)",
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(mlups / TARGET_MLUPS, 4),
