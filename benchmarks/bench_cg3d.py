@@ -42,7 +42,8 @@ def make_pore_png(path, n=128, n_grains=60, seed=7):
     return solid
 
 
-def run_bench(n=128, t_block=1, rows=8, storage="f32"):
+def run_bench(n=128, t_block=1, rows=8, storage="f32", tile_y=None,
+              vmem_mb=120):
     import jax
     import jax.numpy as jnp
 
@@ -74,33 +75,43 @@ def run_bench(n=128, t_block=1, rows=8, storage="f32"):
     fused = build_cg3d_fused_step(g, params, jnp.float32,
                                   slabs_per_block=rows,
                                   steps_per_call=t_block, bc_config=bcs,
-                                  state_mode="compressed", storage=storage)
+                                  state_mode="compressed", storage=storage,
+                                  tile_y=tile_y, vmem_limit_mb=vmem_mb)
     if fused is None:
         return {"error": "kernel does not decompose"}
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_slabs=16)
     s = (model.pack_state_bf16(f_r, f_b) if storage == "bf16"
          else model.pack_state(f_r, f_b))
 
-    def steps(n_calls, s):
-        return jax.lax.fori_loop(0, n_calls, lambda _, x: fused(x), s)
+    # thread the packed geometry through the jit boundary as a runtime
+    # argument: closed-over it serializes into the HLO as a constant,
+    # which the axon remote-compile tunnel rejects past ~150 MB (256^3)
+    geo_arg = getattr(fused, "geo", None)
+
+    def steps(n_calls, s, g):
+        body = ((lambda _, x: fused(x, g)) if geo_arg is not None
+                else (lambda _, x: fused(x)))
+        return jax.lax.fori_loop(0, n_calls, body, s)
 
     run = jax.jit(steps, static_argnums=0, donate_argnums=1)
     n_steps = 120
     n_calls = n_steps // t_block
-    s = run(n_calls, s)
+    s = run(n_calls, s, geo_arg)
     jax.block_until_ready(s)
     # best-of-3 timed regions (tunnel stalls and chip variance, as bench.py)
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        s = run(n_calls, s)
+        s = run(n_calls, s, geo_arg)
         jax.block_until_ready(s)
         dt = min(dt, time.perf_counter() - t0)
     mlups = n ** 3 * n_steps / dt / 1e6
     finite = bool(jnp.isfinite(s).all())
     return {
         "config": f"5 D3Q19 CSF drainage, imaged pore structure {n}^3",
-        "metric": f"T={t_block}, R={rows}, compressed ({storage}), "
+        "metric": f"T={t_block}, R={rows}"
+                  + (f", TY={tile_y}" if tile_y else "")
+                  + f", compressed ({storage}), "
                   "velocity-in/convective-out",
         "value": round(mlups, 1),
         "unit": "MLUPS",
@@ -109,12 +120,27 @@ def run_bench(n=128, t_block=1, rows=8, storage="f32"):
     }
 
 
-def main(n=128, t_block=1, rows=8, storage="f32"):
-    print(json.dumps(run_bench(n, t_block, rows, storage)))
+def main(n=128, t_block=1, rows=8, storage="f32", tile_y=None,
+         vmem_mb=120):
+    print(json.dumps(run_bench(n, t_block, rows, storage, tile_y,
+                               vmem_mb)))
 
 
 if __name__ == "__main__":
+    # usage: bench_cg3d.py [N [T [R]]] [bf16] [ty=TY] [vmem=MB]
     args = sys.argv[1:]
     storage = "bf16" if "bf16" in args else "f32"
-    nums = [int(a) for a in args if a not in ("bf16", "f32")]
-    main(*(nums or [128, 1, 8]), storage=storage)
+    tile_y = None
+    vmem_mb = 120
+    nums = []
+    for a in args:
+        if a in ("bf16", "f32"):
+            continue
+        elif a.startswith("ty="):
+            tile_y = int(a[3:])
+        elif a.startswith("vmem="):
+            vmem_mb = int(a[5:])
+        else:
+            nums.append(int(a))
+    main(*(nums or [128, 1, 8]), storage=storage, tile_y=tile_y,
+         vmem_mb=vmem_mb)

@@ -64,12 +64,20 @@ _PAIRS3 = ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
 
 
 def _rollxy(a, dx: int, dy: int, nx: int, ny: int):
-    """Value at (y, x) of a(y + dy, x + dx), periodic in both."""
+    """Value at (y, x) of a(y + dy, x + dx), periodic in both.
+
+    Extents come from ``a``'s own shape (nx/ny are kept for call-site
+    clarity): under y-tiling the in-window y extent is TY + 2H, not the
+    global ny, and the wrap there only touches the discarded halo rings
+    (stencil depth per sub-step is H, by the same windowed-validity
+    argument as the z axis)."""
     out = a
     if dy:
-        out = pltpu.roll(out, (-dy) % ny, axis=out.ndim - 2)
+        out = pltpu.roll(out, (-dy) % out.shape[out.ndim - 2],
+                         axis=out.ndim - 2)
     if dx:
-        out = pltpu.roll(out, (-dx) % nx, axis=out.ndim - 1)
+        out = pltpu.roll(out, (-dx) % out.shape[out.ndim - 1],
+                         axis=out.ndim - 1)
     return out
 
 
@@ -129,6 +137,8 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           local_nz: int | None = None,
                           transport=None,
                           storage: str = "f32",
+                          tile_y: int | None = None,
+                          vmem_limit_mb: int = 120,
                           interpret: bool = False):
     """Build the fused step for D3Q19 CSF: ``(f_r, f_b) -> (f_r', f_b')``
     (split) or ``s -> s'`` on the 20-plane compressed state.
@@ -172,6 +182,16 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return None
     bf16 = storage == "bf16"
     if bf16 and (not compressed or is_local or has_transport):
+        return None
+    # y-tiling (2-D grid over z-blocks x y-tiles): cuts the in-window
+    # cross-section so deeper z-blocks fit VMEM — halo amplification
+    # (R+2H)/R * (TY+2H)/TY beats the full-width (R'+2H)/R' whenever the
+    # full cross-section caps R' low (128^3 f32 stalls at R'=8, factor
+    # 2.0; R=32/TY=32 gives 1.56).  T=1 only: the window shrinks by one
+    # validity ring per stencil application in y exactly as in z, and
+    # H rings absorb one sub-step; BC slabs stay in the jnp prologue.
+    tiled = tile_y is not None
+    if tiled and (not compressed or is_local or has_transport or T != 1):
         return None
     if has_transport:
         NT = int(transport.num_tracers)
@@ -223,15 +243,18 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # f32 stalls at R=8); the kernel's f32 scoped intermediates keep
         # the other half of the empirical 2x headroom pinned at 4 bytes.
         bpe = 2 if bf16 else 4
-        for r in (32, 16, 8, 4, 2):
+        for r in (64, 32, 16, 8, 4, 2) if tiled else (32, 16, 8, 4, 2):
             if grid_nz % r:
                 continue
             h = _pick_h(r)
             if h is None:
                 continue
-            planes = (n_state + 10 + n_tr) * (r + 2 * h) + \
-                (n_state + n_tr) * r
-            mb = planes * ny * nx * (bpe + 4.0) / 2**20
+            hy = max(8, -(-h // 8) * 8)  # sublane-aligned y-halo depth
+            wy = (tile_y + 2 * hy) if tiled else ny
+            oy = tile_y if tiled else ny
+            planes = (n_state + 10 + n_tr) * (r + 2 * h)
+            mb = (planes * wy + (n_state + n_tr) * r * oy) * \
+                nx * (bpe + 4.0) / 2**20
             if mb <= 110:
                 slabs_per_block = r
                 break
@@ -246,6 +269,18 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     W = R + 2 * H
     nb = grid_nz // R
     hb = grid_nz // H
+    if tiled:
+        TY = int(tile_y)
+        # y-halo depth: the physics needs H rings (same windowed-validity
+        # argument as z), but Mosaic requires sublane-dim block extents to
+        # be multiples of 8 — so the y halos are fetched HY >= H deep and
+        # the extra rings simply widen the valid interior margin.
+        HY = max(8, -(-H // 8) * 8)
+        if ny % TY or TY % HY or ny % HY:
+            return None
+        W_y = TY + 2 * HY
+        nby = ny // TY
+        yb = ny // HY
 
     lat = D3Q19
     e = lat.e
@@ -724,7 +759,23 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     shrink = 5 if bc_in_kernel else 4
 
     def kernel(*refs):
-        if is_local:
+        if tiled:
+            # 9-operand window: center, z+-H slabs, y+-HY strips, and the
+            # four HxHY corner blocks (D3Q19 has z-y diagonals and the
+            # stencil reaches H in z / up to HY in y, so corners reach the
+            # center region).  Stitch z-strips first (leading-axis
+            # concats are free), then one sublane concat (HY, TY, HY).
+            (s_c, s_zu, s_zd, s_yu, s_yd, s_uu, s_ud, s_du, s_dd,
+             g_c, g_zu, g_zd, g_yu, g_yd, g_uu, g_ud, g_du,
+             g_dd) = refs[:18]
+            outs = refs[18:]
+
+            def _win(c, zu, zd, yu, yd, uu, ud, du, dd):
+                left = jnp.concatenate([uu[:], yu[:], du[:]], axis=1)
+                midv = jnp.concatenate([zu[:], c[:], zd[:]], axis=1)
+                right = jnp.concatenate([ud[:], yd[:], dd[:]], axis=1)
+                return jnp.concatenate([left, midv, right], axis=2)
+        elif is_local:
             (s_c, s_u, s_d, up_sl, dn_sl,
              g_c, g_u, g_d, gup_sl, gdn_sl) = refs[:10]
             outs = refs[10:]
@@ -745,7 +796,10 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             fr_c, fr_u, fr_d, fb_c, fb_u, fb_d, g_c, g_u, g_d = refs[:9]
             outs = refs[9:]
-        if is_local:
+        if tiled:
+            geo = _win(g_c, g_zu, g_zd, g_yu, g_yd,
+                       g_uu, g_ud, g_du, g_dd)
+        elif is_local:
             geo = jnp.concatenate([g_u, g_c[:], g_d], axis=1)
         else:
             geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
@@ -764,7 +818,10 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                  geo[3].astype(dtype), den_invw]
         solid = 1.0 - flw
         if compressed:
-            if is_local:
+            if tiled:
+                s = _win(s_c, s_zu, s_zd, s_yu, s_yd,
+                         s_uu, s_ud, s_du, s_dd)
+            elif is_local:
                 s = jnp.concatenate([s_u, s_c[:], s_d], axis=1)
             else:
                 s = jnp.concatenate([s_u[:], s_c[:], s_d[:]], axis=1)
@@ -864,23 +921,30 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
                 fr, fb = _substep(fr, fb, gcut_s, solid_sh_s)
         # final arrays valid on [T*shrink, W - T*shrink); emit [H, H+R)
+        # (tiled: y keeps full W_y width throughout — wrap contamination
+        # stays in the HY >= shrink halo rings — so the emit slices
+        # [HY, HY+TY))
         lo = T * shrink
         o0 = H - lo
+
+        def _oy(a, z0):
+            return a[z0:z0 + R, HY:HY + TY] if tiled else a[z0:z0 + R]
+
         if compressed:
             out_s = outs[0]
             if bf16:
-                flo = flw[H:H + R]
+                flo = _oy(flw, H)
                 for i in range(Q):
-                    out_s[i] = (ft[i][o0:o0 + R] -
+                    out_s[i] = (_oy(ft[i], o0) -
                                 float(w_lat[i]) * flo).astype(jnp.bfloat16)
-                rc = rho_r[o0:o0 + R]
+                rc = _oy(rho_r, o0)
                 hi = rc.astype(jnp.bfloat16)
                 out_s[Q] = hi
                 out_s[Q + 1] = (rc - hi.astype(dtype)).astype(jnp.bfloat16)
             else:
                 for i in range(Q):
-                    out_s[i] = ft[i][o0:o0 + R]
-                out_s[Q] = rho_r[o0:o0 + R]
+                    out_s[i] = _oy(ft[i], o0)
+                out_s[Q] = _oy(rho_r, o0)
             if has_transport:
                 out_g = outs[1]
                 for t in range(NT):
@@ -905,7 +969,48 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     gd = pl.BlockSpec((n_geo, H, ny, nx),
                       lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
 
-    if is_local:
+    if tiled:
+        ryb = R // H
+        tyb = TY // HY
+
+        def _zu(i):
+            return (i * ryb - 1) % hb
+
+        def _zd(i):
+            return (i * ryb + ryb) % hb
+
+        def _yu(j):
+            return (j * tyb - 1) % yb
+
+        def _yd(j):
+            return (j * tyb + tyb) % yb
+
+        def _tspecs(n_ch):
+            return [
+                pl.BlockSpec((n_ch, R, TY, nx), lambda i, j: (0, i, j, 0)),
+                pl.BlockSpec((n_ch, H, TY, nx),
+                             lambda i, j: (0, _zu(i), j, 0)),
+                pl.BlockSpec((n_ch, H, TY, nx),
+                             lambda i, j: (0, _zd(i), j, 0)),
+                pl.BlockSpec((n_ch, R, HY, nx),
+                             lambda i, j: (0, i, _yu(j), 0)),
+                pl.BlockSpec((n_ch, R, HY, nx),
+                             lambda i, j: (0, i, _yd(j), 0)),
+                pl.BlockSpec((n_ch, H, HY, nx),
+                             lambda i, j: (0, _zu(i), _yu(j), 0)),
+                pl.BlockSpec((n_ch, H, HY, nx),
+                             lambda i, j: (0, _zu(i), _yd(j), 0)),
+                pl.BlockSpec((n_ch, H, HY, nx),
+                             lambda i, j: (0, _zd(i), _yu(j), 0)),
+                pl.BlockSpec((n_ch, H, HY, nx),
+                             lambda i, j: (0, _zd(i), _yd(j), 0)),
+            ]
+
+        in_specs = _tspecs(n_st) + _tspecs(n_geo)
+        out_specs = (pl.BlockSpec((n_st, R, TY, nx),
+                                  lambda i, j: (0, i, j, 0)),)
+        out_shape = (jax.ShapeDtypeStruct((n_st, nz, ny, nx), st_dtype),)
+    elif is_local:
         slab = pl.BlockSpec((n_st, H, ny, nx), lambda i: (0, 0, 0, 0))
         gslab = pl.BlockSpec((n_geo, H, ny, nx), lambda i: (0, 0, 0, 0))
         in_specs = [center, halo_up, halo_dn, slab, slab,
@@ -941,13 +1046,14 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     call = pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb, nby) if tiled else (nb,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-            dimension_semantics=("parallel",)),
+            vmem_limit_bytes=int(vmem_limit_mb) * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel") if tiled
+            else ("parallel",)),
         interpret=interpret,
     )
 
@@ -1186,11 +1292,19 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             return s2, g2
     elif compressed:
         _prologue = _bc_prologue_c_bf16 if bf16 else _bc_prologue_c
+        n_ops = 9 if tiled else 3
 
-        def step(s):
+        def step(s, geo=None):
+            # `geo` lets callers thread the packed geometry through their
+            # jit boundary as a runtime parameter (step.geo carries the
+            # device copy); closed-over by default, which bakes it into
+            # the HLO as a constant — fine until the geometry stack gets
+            # large (4 planes at 256^3 is 268 MB of serialized constant).
+            g = geo_dev if geo is None else geo
             if bc_prologue:
                 s = _prologue(s)
-            return call(s, s, s, geo_dev, geo_dev, geo_dev)[0]
+            return call(*((s,) * n_ops + (g,) * n_ops))[0]
+        step.geo = geo_dev
     else:
         def step(f_r, f_b):
             if bc_prologue:
