@@ -84,9 +84,13 @@ def run_bench(n=128, t_block=1, rows=8, storage="f32", tile_y=None,
          else model.pack_state(f_r, f_b))
 
     # thread the packed geometry through the jit boundary as a runtime
-    # argument: closed-over it serializes into the HLO as a constant,
-    # which the axon remote-compile tunnel rejects past ~150 MB (256^3)
+    # argument when it is large: closed-over it serializes into the HLO
+    # as a constant, which the axon remote-compile tunnel rejects past
+    # ~150 MB (256^3); small geometries stay closure-baked (the constant
+    # lets XLA fold the decode selects)
     geo_arg = getattr(fused, "geo", None)
+    if geo_arg is not None and geo_arg.nbytes < 64 * 2**20:
+        geo_arg = None
 
     def steps(n_calls, s, g):
         body = ((lambda _, x: fused(x, g)) if geo_arg is not None
@@ -96,14 +100,22 @@ def run_bench(n=128, t_block=1, rows=8, storage="f32", tile_y=None,
     run = jax.jit(steps, static_argnums=0, donate_argnums=1)
     n_steps = 120
     n_calls = n_steps // t_block
+
+    def _sync(x):
+        # a host transfer, not block_until_ready: through the axon tunnel
+        # block_until_ready returns early on executables whose geometry is
+        # a runtime parameter (aliased-donation quirk), silently timing an
+        # empty region
+        return float(jnp.sum(x[0, 0, 0]))
+
     s = run(n_calls, s, geo_arg)
-    jax.block_until_ready(s)
+    _sync(s)
     # best-of-3 timed regions (tunnel stalls and chip variance, as bench.py)
     dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         s = run(n_calls, s, geo_arg)
-        jax.block_until_ready(s)
+        _sync(s)
         dt = min(dt, time.perf_counter() - t0)
     mlups = n ** 3 * n_steps / dt / 1e6
     finite = bool(jnp.isfinite(s).all())
