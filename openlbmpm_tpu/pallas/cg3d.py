@@ -135,6 +135,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           bc_config=None,
                           state_mode: str = "split",
                           local_nz: int | None = None,
+                          local_ny: int | None = None,
                           transport=None,
                           storage: str = "f32",
                           tile_y: int | None = None,
@@ -177,6 +178,14 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_local = local_nz is not None
     if is_local and (not compressed or T != 1):
         return None
+    if local_ny is not None:
+        # (z, y)-sharded decomposition: the shard's y extent is the local
+        # width plus the exchanged sublane halos; the kernel treats it as
+        # its periodic width (wrap contamination stays in the >= 4-deep
+        # pad rings, sliced off by the caller)
+        if not is_local:
+            return None
+        ny = int(local_ny)
     has_transport = transport is not None
     if has_transport and (not compressed or T != 1 or is_local):
         return None
@@ -1338,14 +1347,17 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
                             interpret: bool = False):
     """Compressed fused D3Q19 CSF step under a z-sharded mesh.
 
-    The domain is slab-decomposed over the mesh "y" axis (x/y stay
-    on-shard: lane/sublane rolls need the full cross-section).  Per call,
-    the BC prologue rewrites the boundary slabs on the globally sharded
-    array (XLA SPMD lowers the slab updates to the owning shards), then
-    each shard exchanges H halo slabs of state and geometry with its ring
-    neighbors via ``lax.ppermute`` over ICI and runs the local periodic
-    kernel.  Returns ``step(s) -> s'`` on the (20, nz, ny, nx) state, or
-    None when the decomposition does not apply.
+    The domain is slab-decomposed over the mesh "y" axis (z slabs) and,
+    with an "x" axis of size > 1, additionally over the sublane (y)
+    dimension.  Per call, the BC prologue rewrites the boundary slabs on
+    the globally sharded array (XLA SPMD lowers the slab updates to the
+    owning shards); each shard then exchanges Hy sublane halo rows over
+    the "x" ring, exchanges H z-halo slabs of the y-padded arrays over
+    the "y" ring (so z-y diagonal corners ride along), and runs the
+    local kernel on the padded width (its circular sublane rolls stay
+    exact on the center rows for Hy >= 4T), slicing the center back out.
+    Returns ``step(s) -> s'`` on the (20, nz, ny, nx) state, or None
+    when the decomposition does not apply.
     """
     from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1357,32 +1369,59 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
     nz, ny, nx = geometry.shape
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_sh = axis_sizes.get("y", 1)
-    if axis_sizes.get("x", 1) != 1 or nz % n_sh:
+    n_sx = axis_sizes.get("x", 1)   # shards the sublane (y) dimension
+    if nz % n_sh or ny % n_sx:
         return None
     nz_loc = nz // n_sh
+    ny_loc = ny // n_sx
+    # sublane halo depth: physics needs 4 rings at T=1; 8 keeps the
+    # exchanged strips tile-aligned
+    Hy = 8 if n_sx > 1 else 0
+    if n_sx > 1 and ny_loc <= 2 * Hy:
+        return None
     local = build_cg3d_fused_step(
         geometry, params, dtype, slabs_per_block, steps_per_call=1,
         bc_config=bc_config, state_mode="compressed", local_nz=nz_loc,
+        local_ny=(ny_loc + 2 * Hy) if n_sx > 1 else None,
         interpret=interpret)
     if local is None:
         return None
     H = local.halo_slabs
 
-    spec = P(None, "y", None, None)
+    spec = (P(None, "y", "x", None) if n_sx > 1
+            else P(None, "y", None, None))
     geo = jax.device_put(jnp.asarray(geo_stack3(geometry), dtype),
                          NamedSharding(mesh, spec))
     fwd = [(j, (j + 1) % n_sh) for j in range(n_sh)]
     bwd = [(j, (j - 1) % n_sh) for j in range(n_sh)]
+    yfwd = [(j, (j + 1) % n_sx) for j in range(n_sx)]
+    ybwd = [(j, (j - 1) % n_sx) for j in range(n_sx)]
 
     def _local_step(s_loc, geo_loc):
+        def ypad(x):
+            # global y periodicity (or the y-wall geometry riding in the
+            # geo planes) comes from the ring permute; padding first
+            # means the z-slab halos below ship y-padded rows, so the
+            # z-y diagonal corner data rides along for free (same trick
+            # as the 2D (y, x) builder, csf.py build_csf_sharded_step)
+            lo = lax.ppermute(x[:, :, -Hy:], "x", yfwd)
+            hi = lax.ppermute(x[:, :, :Hy], "x", ybwd)
+            return jnp.concatenate([lo, x, hi], axis=2)
+
         def halo(x):
             up = lax.ppermute(x[:, -H:], "y", fwd)
             dn = lax.ppermute(x[:, :H], "y", bwd)
             return up, dn
 
+        if n_sx > 1:
+            s_loc = ypad(s_loc)
+            geo_loc = ypad(geo_loc)
         up, dn = halo(s_loc)
         gup, gdn = halo(geo_loc)
-        return local(s_loc, up, dn, geo_loc, gup, gdn)
+        out = local(s_loc, up, dn, geo_loc, gup, gdn)
+        if n_sx > 1:
+            out = out[:, :, Hy:Hy + ny_loc]
+        return out
 
     sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
                         out_specs=spec, check_vma=False)

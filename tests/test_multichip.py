@@ -383,3 +383,42 @@ def test_single_fused_sharded_equals_single():
         f_sh = jstep(f_sh)
     np.testing.assert_allclose(np.asarray(f_ref), np.asarray(f_sh),
                                rtol=0, atol=1e-12)
+
+
+def test_cg3d_fused_sharded_zy_mesh_equals_single():
+    """The compressed fused D3Q19 step under a (z, y) 2-D mesh — sublane
+    halo lanes exchanged over the "x" ring first, z slabs of the
+    y-padded arrays after (corners ride along) — matches the
+    single-device fused step, with y walls (wetting) crossing the
+    y-shard seams and z-face BCs."""
+    import jax
+    from openlbmpm_tpu.models.flow3d import (CG3DBoundaryConfig,
+                                             ColorGradientParams3D,
+                                             ColorGradientRK3D)
+    from openlbmpm_tpu.pallas.cg3d import (build_cg3d_fused_step,
+                                           build_cg3d_sharded_step)
+    from openlbmpm_tpu.parallel.mesh import make_mesh
+    nz, ny, nx = 16, 64, 16
+    solid = np.zeros((nz, ny, nx), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    params = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0,
+                                   tau_b=0.8, contact_angle_deg=60.0)
+    bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                             inlet_velocity=-1e-3)
+    m = ColorGradientRK3D(geo.from_solid_mask(solid), params, bcs,
+                          dtype=jnp.float32, use_pallas=False)
+    single = build_cg3d_fused_step(m.geo, params, jnp.float32,
+                                   slabs_per_block=8, bc_config=bcs,
+                                   state_mode="compressed", interpret=True)
+    mesh = make_mesh(shape=(2, 2))
+    sharded = build_cg3d_sharded_step(m.geo, params, mesh, jnp.float32,
+                                      slabs_per_block=4, bc_config=bcs,
+                                      interpret=True)
+    assert sharded is not None
+    s = m.pack_state(*m.init_state_layers(1.0, 1.0, invading_slabs=6))
+    a = s
+    b = s
+    for _ in range(2):
+        a = single(a)
+        b = jax.jit(sharded)(b)
+    assert float(jnp.max(jnp.abs(a - b))) < 3e-5
