@@ -129,3 +129,28 @@ def test_efs_fused_matches_jnp(iso, coll, t_block):
     for _ in range(4 // t_block):
         c = fused(c)
     assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+
+
+def test_sc_fused_three_fluids_matches_jnp():
+    """The fused SC kernel is K-general: K=3 matches the jnp step."""
+    n = 32
+    g = 3.6
+    p = ShanChenParams(
+        g_matrix=((0.0, g, g), (g, 0.0, g), (g, g, 0.0)),
+        g_solid=(0.0, 0.0, 0.0), tau=(1.0, 0.9, 0.8))
+    m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
+                     dtype=jnp.float32, use_pallas=False)
+    fused = build_sc_fused_step(m.geo, p, jnp.float32, rows_per_block=8,
+                                steps_per_call=1, bc_config=m.bcs,
+                                interpret=True)
+    assert fused is not None
+    rho = np.full((3, n, n), 0.02)
+    rho[0, : n // 3] = 1.0
+    rho[1, n // 3: 2 * n // 3] = 1.0
+    rho[2, 2 * n // 3:] = 1.0
+    a = m._feq_init(jnp.asarray(rho, jnp.float32))
+    c = a
+    for _ in range(3):
+        a = m._step_sc(a)
+        c = fused(c)
+    assert float(jnp.max(jnp.abs(a - c))) < 5e-6

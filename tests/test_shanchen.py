@@ -286,3 +286,35 @@ def test_chang_selectable_from_ini(tmp_path):
     params, bcs, domain, run, extras = load_shanchen(str(main), str(phys))
     assert bcs.inlet == "chang_pressure"
     assert bcs.outlet == "chang_pressure"
+
+
+def test_sc_three_fluids_separation_and_mass():
+    """K=3 MCMP (the reference's typesFluids=3 path,
+    ``ShanChenD2Q9.py:226-231`` builds a full KxK G matrix and
+    ``plotDensityDistribution2OPT`` plots the third fluid): three
+    immiscible bands stay separated and each fluid conserves mass
+    exactly under periodic BCs."""
+    n = 48
+    g = 3.6
+    p = ShanChenParams(
+        g_matrix=((0.0, g, g), (g, 0.0, g), (g, g, 0.0)),
+        g_solid=(0.0, 0.0, 0.0), tau=(1.0, 1.0, 1.0))
+    m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
+                     dtype=jnp.float64, use_pallas=False)
+    # three horizontal bands, each fluid dominant in its own third
+    rho = np.full((3, n, n), 0.02)
+    rho[0, : n // 3] = 1.0
+    rho[1, n // 3: 2 * n // 3] = 1.0
+    rho[2, 2 * n // 3:] = 1.0
+    f = m._feq_init(jnp.asarray(rho))
+    m0 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    for _ in range(50):
+        f = m._step_sc(f)
+    m1 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    np.testing.assert_allclose(m1, m0, rtol=1e-12)
+    rho_k = np.asarray(jnp.sum(f, axis=1))
+    # each fluid still dominates the center row of its own band
+    for k, row in enumerate((n // 6, n // 2, 5 * n // 6)):
+        assert rho_k[k, row].mean() > 0.9
+        others = [j for j in range(3) if j != k]
+        assert all(rho_k[j, row].mean() < 0.1 for j in others)
