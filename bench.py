@@ -90,13 +90,22 @@ def main():
     f_r, f_b = model.init_state_layers(1.0, 1.0, invading_rows=100)
 
     # temporally-blocked fused Pallas kernel on the compressed bf16
-    # 11-plane (shifted f_total deviations, rho_r hi/lo) state: 4 time
-    # steps per launch with the boundary rows applied in-kernel
-    # (models/colorgradient make_block_step, storage="bf16" — all VMEM
-    # arithmetic stays f32, only HBM storage is bf16; the phase field
-    # keeps f32-grade precision through the rho_r hi/lo pair); falls
-    # back to the single-step split path off-TPU.
-    t_block = 4
+    # 11-plane (shifted f_total deviations, rho_r hi/lo) state with the
+    # boundary rows applied in-kernel (models/colorgradient
+    # make_block_step, storage="bf16" — all VMEM arithmetic stays f32,
+    # only HBM storage is bf16; the phase field keeps f32-grade
+    # precision through the rho_r hi/lo pair); falls back to the
+    # single-step split path off-TPU.
+    #
+    # T=8 measures ~15% over T=4 in the same session (5316 vs 4638;
+    # RESULTS.md r4) and 5239-5269 on the standard bench, but its cold
+    # Mosaic compile is ~12-15 min (the 8-substep unrolled kernel lowers
+    # to a ~42 MB module) and the persistent compile cache does NOT hit
+    # across processes for this program (measured: two runs write two
+    # different cache keys), so every run pays it.  T=4 compiles in
+    # ~3 min.  Default to the driver-safe T=4; BENCH_T=8 opts in.
+    import os as _os
+    t_block = int(_os.environ.get("BENCH_T", "4"))
     block = model.make_block_step(steps_per_call=t_block, rows_per_block=256,
                                   compressed=True, storage="bf16")
     if block is not None:

@@ -228,8 +228,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # ``TransportRK.make_block_step`` (like conserve_mass)
         tr_mode = "bounceback"
     is_local = local_ny is not None
-    if is_local and (not compressed or has_transport):
-        return None  # sharded fused path is compressed-only, flow-only
+    if is_local and not compressed:
+        return None  # sharded fused path is compressed-only
     # bf16 shifted-PDF storage (opt-in, compressed flow-only): the HBM
     # state becomes 11 bfloat16 planes — 9 *deviations* f_i - w_i*fl plus
     # rho_r as a hi/lo bf16 pair (exact to ~2^-17, f32-grade phase field)
@@ -1443,7 +1443,11 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # wrapped center/halo refs plus the ppermuted edge slabs
             (row0_ref, s_c, s_u, s_d, up_sl, dn_sl,
              g_c, g_u, g_d, gup_sl, gdn_sl) = refs[:11]
-            outs = refs[11:]
+            idx = 11
+            if has_transport:
+                tr_c, tr_u, tr_d, trup_sl, trdn_sl = refs[idx:idx + 5]
+                idx += 5
+            outs = refs[idx:]
             i0 = pl.program_id(0)
             first = i0 == 0
             last = i0 == nb - 1
@@ -1453,6 +1457,9 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             s_d = jnp.where(last, dn_sl[:], s_d[:])
             g_u = jnp.where(first, gup_sl[:], g_u[:])
             g_d = jnp.where(last, gdn_sl[:], g_d[:])
+            if has_transport:
+                tr_u = jnp.where(first, trup_sl[:], tr_u[:])
+                tr_d = jnp.where(last, trdn_sl[:], tr_d[:])
         elif compressed:
             s_c, s_u, s_d, g_c, g_u, g_d = refs[:6]
             idx = 6
@@ -1679,16 +1686,35 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_shape = [jax.ShapeDtypeStruct((9, ny, nx), dtype),
                      jax.ShapeDtypeStruct((9, ny, nx), dtype)]
     if has_transport:
-        in_specs += [
-            pl.BlockSpec((NT, NQ, R, nx), lambda i: (0, 0, i, 0)),
-            pl.BlockSpec((NT, NQ, H, nx),
-                         lambda i: (0, 0, (i * (R // H) - 1) % hb, 0)),
-            pl.BlockSpec((NT, NQ, H, nx),
-                         lambda i: (0, 0, (i * (R // H) + R // H) % hb, 0)),
-        ]
-        out_specs.append(
-            pl.BlockSpec((NT, NQ, R, nx), lambda i: (0, 0, i, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((NT, NQ, ny, nx), dtype))
+        if is_local:
+            tr_slab = pl.BlockSpec((NT, NQ, H, nx),
+                                   lambda i, s: (0, 0, 0, 0))
+            in_specs += [
+                pl.BlockSpec((NT, NQ, R, nx), lambda i, s: (0, 0, i, 0)),
+                pl.BlockSpec(
+                    (NT, NQ, H, nx),
+                    lambda i, s: (0, 0, (i * (R // H) - 1) % hb, 0)),
+                pl.BlockSpec(
+                    (NT, NQ, H, nx),
+                    lambda i, s: (0, 0, (i * (R // H) + R // H) % hb, 0)),
+                tr_slab, tr_slab,
+            ]
+            out_specs.append(
+                pl.BlockSpec((NT, NQ, R, nx), lambda i, s: (0, 0, i, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((NT, NQ, grid_ny, nx), dtype))
+        else:
+            in_specs += [
+                pl.BlockSpec((NT, NQ, R, nx), lambda i: (0, 0, i, 0)),
+                pl.BlockSpec((NT, NQ, H, nx),
+                             lambda i: (0, 0, (i * (R // H) - 1) % hb, 0)),
+                pl.BlockSpec(
+                    (NT, NQ, H, nx),
+                    lambda i: (0, 0, (i * (R // H) + R // H) % hb, 0)),
+            ]
+            out_specs.append(
+                pl.BlockSpec((NT, NQ, R, nx), lambda i: (0, 0, i, 0)))
+            out_shape.append(jax.ShapeDtypeStruct((NT, NQ, ny, nx), dtype))
 
     compiler_params = pltpu.CompilerParams(
         vmem_limit_bytes=120 * 1024 * 1024,
@@ -1708,9 +1734,17 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             interpret=interpret,
         )
 
-        def step(s_loc, up, dn, geo_loc, gup, gdn, row0):
-            return call(row0, s_loc, s_loc, s_loc, up, dn,
-                        geo_loc, geo_loc, geo_loc, gup, gdn)[0]
+        if has_transport:
+            def step(s_loc, up, dn, geo_loc, gup, gdn,
+                     g_loc, g_up, g_dn, row0):
+                outs = call(row0, s_loc, s_loc, s_loc, up, dn,
+                            geo_loc, geo_loc, geo_loc, gup, gdn,
+                            g_loc, g_loc, g_loc, g_up, g_dn)
+                return outs[0], outs[1]
+        else:
+            def step(s_loc, up, dn, geo_loc, gup, gdn, row0):
+                return call(row0, s_loc, s_loc, s_loc, up, dn,
+                            geo_loc, geo_loc, geo_loc, gup, gdn)[0]
 
         return step
 
@@ -1750,6 +1784,7 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
                            rows_per_block: int | None = None,
                            steps_per_call: int = 1,
                            bc_config=None,
+                           transport_params=None,
                            interpret: bool = False):
     """Compressed fused CSF/Perturbation step under a y- or (y, x)-sharded
     mesh.
@@ -1767,8 +1802,12 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
     The kernel runs on the padded width (``local_nx``; the circular lane
     rolls stay exact on the center columns for Hx >= 4T) and the center
     is sliced back out.  Returns ``step(s) -> s'`` on the
-    globally-sharded (10, ny, nx) state, or None when the decomposition
-    does not apply.
+    globally-sharded (10, ny, nx) state — or, with ``transport_params``,
+    the coupled ``step(s, g) -> (s', g')`` with the tracer PDFs
+    (NT, NQ, ny, nx) row-sharded alongside the flow (y-decomposition
+    only; interface-mode epilogues beyond the in-kernel bounce-back are
+    jnp and compose at the model level under SPMD).  None when the
+    decomposition does not apply.
     """
     from jax import lax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1785,8 +1824,17 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
         return None
     ny_loc = ny // n_sh
     nx_loc = nx // n_sx
+    has_tr = transport_params is not None
+    if has_tr and n_sx > 1:
+        return None  # coupled sharding: y-decomposition only
     T = int(steps_per_call)
-    H = _halo_rows(T, params.variant)
+    tr_mode = None
+    if has_tr:
+        tr_mode = ("bounceback"
+                   if transport_params.interface_mode in
+                   ("bounceback", "redistribute") else
+                   transport_params.interface_mode)
+    H = _halo_rows(T, params.variant, tr_mode)
     Hx = H if n_sx > 1 else 0
     if n_sx > 1 and nx_loc <= 2 * Hx:
         return None
@@ -1794,6 +1842,7 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
         geometry, params, dtype, rows_per_block, steps_per_call, bc_config,
         state_mode="compressed", local_ny=ny_loc,
         local_nx=(nx_loc + 2 * Hx) if n_sx > 1 else None,
+        transport_params=transport_params,
         interpret=interpret)
     if local is None:
         return None
@@ -1806,7 +1855,7 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
     xfwd = [(j, (j + 1) % n_sx) for j in range(n_sx)]
     xbwd = [(j, (j - 1) % n_sx) for j in range(n_sx)]
 
-    def _local_step(s_loc, geo_loc):
+    def _local_step(s_loc, geo_loc, *tr):
         def xpad(x):
             # global x periodicity comes from the ring permute (shard 0's
             # left halo is shard n_sx-1's right edge), matching the
@@ -1816,8 +1865,10 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
             return jnp.concatenate([left, x, right], axis=2)
 
         def halo(x):
-            up = lax.ppermute(x[:, -H:, :], "y", fwd)
-            dn = lax.ppermute(x[:, :H, :], "y", bwd)
+            # rows are axis -2 for both the 3-D flow/geo stacks and the
+            # 4-D tracer PDFs
+            up = lax.ppermute(x[..., -H:, :], "y", fwd)
+            dn = lax.ppermute(x[..., :H, :], "y", bwd)
             return up, dn
 
         row0 = jnp.reshape(
@@ -1827,16 +1878,30 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
             geo_loc = xpad(geo_loc)
         up, dn = halo(s_loc)
         gup, gdn = halo(geo_loc)
+        if has_tr:
+            (g_loc,) = tr
+            g_up, g_dn = halo(g_loc)
+            return local(s_loc, up, dn, geo_loc, gup, gdn,
+                         g_loc, g_up, g_dn, row0)
         out = local(s_loc, up, dn, geo_loc, gup, gdn, row0)
         if n_sx > 1:
             out = out[:, :, Hx:Hx + nx_loc]
         return out
 
     # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
-    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
-                        out_specs=spec, check_vma=False)
+    if has_tr:
+        tr_spec = P(None, None, "y", None)
+        sharded = shard_map(_local_step, mesh=mesh,
+                            in_specs=(spec, spec, tr_spec),
+                            out_specs=(spec, tr_spec), check_vma=False)
 
-    def step(s):
-        return sharded(s, geo)
+        def step(s, g):
+            return sharded(s, geo, g)
+    else:
+        sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
+                            out_specs=spec, check_vma=False)
+
+        def step(s):
+            return sharded(s, geo)
 
     return step
