@@ -187,7 +187,7 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             return None
         ny = int(local_ny)
     has_transport = transport is not None
-    if has_transport and (not compressed or T != 1 or is_local):
+    if has_transport and (not compressed or T != 1):
         return None
     bf16 = storage == "bf16"
     if bf16 and (not compressed or is_local or has_transport):
@@ -811,6 +811,11 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             s_d = jnp.where(last, dn_sl[:], s_d[:])
             g_u = jnp.where(first, gup_sl[:], g_u[:])
             g_d = jnp.where(last, gdn_sl[:], g_d[:])
+            if has_transport:
+                tr_c, tr_u, tr_d, trup_sl, trdn_sl = refs[10:15]
+                outs = refs[15:]
+                tr_u = jnp.where(first, trup_sl[:], tr_u[:])
+                tr_d = jnp.where(last, trdn_sl[:], tr_d[:])
         elif compressed:
             s_c, s_u, s_d, g_c, g_u, g_d = refs[:6]
             idx = 6
@@ -1043,6 +1048,22 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out_specs = (pl.BlockSpec((n_st, R, ny, nx),
                                   lambda i: (0, i, 0, 0)),)
         out_shape = (jax.ShapeDtypeStruct((n_st, grid_nz, ny, nx), dtype),)
+        if has_transport:
+            n_g = 7 * NT
+            tr_slab = pl.BlockSpec((n_g, H, ny, nx),
+                                   lambda i: (0, 0, 0, 0))
+            in_specs += [
+                pl.BlockSpec((n_g, R, ny, nx), lambda i: (0, i, 0, 0)),
+                pl.BlockSpec((n_g, H, ny, nx),
+                             lambda i: (0, (i * (R // H) - 1) % hb, 0, 0)),
+                pl.BlockSpec((n_g, H, ny, nx),
+                             lambda i: (0, (i * (R // H) + R // H) % hb,
+                                        0, 0)),
+                tr_slab, tr_slab]
+            out_specs = out_specs + (
+                pl.BlockSpec((n_g, R, ny, nx), lambda i: (0, i, 0, 0)),)
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((n_g, grid_nz, ny, nx), dtype),)
     elif compressed:
         in_specs = [center, halo_up, halo_dn, gc, gu, gd]
         out_specs = (pl.BlockSpec((n_st, R, ny, nx),
@@ -1281,9 +1302,19 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     bc_prologue = has_bcs and not bc_in_kernel
     if is_local:
-        def step(s_loc, up, dn, geo_loc, gup, gdn):
-            return call(s_loc, s_loc, s_loc, up, dn,
-                        geo_loc, geo_loc, geo_loc, gup, gdn)[0]
+        if has_transport:
+            def step(s_loc, up, dn, geo_loc, gup, gdn,
+                     gf_loc, gf_up, gf_dn):
+                """Local coupled step on the reshaped (NT*7, ...) tracer
+                stack; the interface bounce-back epilogue runs on the
+                GLOBAL sharded arrays in the sharded builder."""
+                return call(s_loc, s_loc, s_loc, up, dn,
+                            geo_loc, geo_loc, geo_loc, gup, gdn,
+                            gf_loc, gf_loc, gf_loc, gf_up, gf_dn)
+        else:
+            def step(s_loc, up, dn, geo_loc, gup, gdn):
+                return call(s_loc, s_loc, s_loc, up, dn,
+                            geo_loc, geo_loc, geo_loc, gup, gdn)[0]
         step.bc_prologue_c = _bc_prologue_c if bc_prologue else None
         step.halo_slabs = H
         return step
@@ -1344,6 +1375,7 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
                             dtype=jnp.float32,
                             slabs_per_block: int | None = None,
                             bc_config=None,
+                            transport=None,
                             interpret: bool = False):
     """Compressed fused D3Q19 CSF step under a z-sharded mesh.
 
@@ -1372,6 +1404,9 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
     n_sx = axis_sizes.get("x", 1)   # shards the sublane (y) dimension
     if nz % n_sh or ny % n_sx:
         return None
+    has_tr = transport is not None
+    if has_tr and n_sx > 1:
+        return None  # coupled sharding: z-decomposition only
     nz_loc = nz // n_sh
     ny_loc = ny // n_sx
     # sublane halo depth: physics needs 4 rings at T=1; 8 keeps the
@@ -1383,6 +1418,7 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
         geometry, params, dtype, slabs_per_block, steps_per_call=1,
         bc_config=bc_config, state_mode="compressed", local_nz=nz_loc,
         local_ny=(ny_loc + 2 * Hy) if n_sx > 1 else None,
+        transport=transport,
         interpret=interpret)
     if local is None:
         return None
@@ -1397,7 +1433,7 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
     yfwd = [(j, (j + 1) % n_sx) for j in range(n_sx)]
     ybwd = [(j, (j - 1) % n_sx) for j in range(n_sx)]
 
-    def _local_step(s_loc, geo_loc):
+    def _local_step(s_loc, geo_loc, *tr):
         def ypad(x):
             # global y periodicity (or the y-wall geometry riding in the
             # geo planes) comes from the ring permute; padding first
@@ -1418,18 +1454,64 @@ def build_cg3d_sharded_step(geometry: Geometry, params, mesh,
             geo_loc = ypad(geo_loc)
         up, dn = halo(s_loc)
         gup, gdn = halo(geo_loc)
+        if has_tr:
+            (gf_loc,) = tr
+            gf_up, gf_dn = halo(gf_loc)
+            return local(s_loc, up, dn, geo_loc, gup, gdn,
+                         gf_loc, gf_up, gf_dn)
         out = local(s_loc, up, dn, geo_loc, gup, gdn)
         if n_sx > 1:
             out = out[:, :, Hy:Hy + ny_loc]
         return out
 
-    sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
-                        out_specs=spec, check_vma=False)
     prologue = getattr(local, "bc_prologue_c", None)
+    if has_tr:
+        from ..ops.common import shift as _shift
+        NT = int(transport.num_tracers)
+        tr_crit = float(transport.criteria)
+        tr_mode = transport.interface_mode
+        E7 = ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+              (0, 0, 1), (0, 0, -1))
+        OPP7 = (2, 1, 4, 3, 6, 5)
+        sharded = shard_map(_local_step, mesh=mesh,
+                            in_specs=(spec, spec, spec),
+                            out_specs=(spec, spec), check_vma=False)
 
-    def step(s):
-        if prologue is not None:
-            s = prologue(s)
-        return sharded(s, geo)
+        def step(s, g):
+            """(s, g) -> (s', g'), g (NT, 7, nz, ny, nx) z-sharded.
+
+            The hard interface bounce-back repair runs on the GLOBAL
+            sharded arrays (its neighbor shifts lower to
+            collective-permutes under SPMD), mirroring the single-device
+            coupled step's jnp epilogue."""
+            if prologue is not None:
+                s = prologue(s)
+            rho_r_pre = s[19]
+            gf = g.reshape((NT * 7, nz, ny, nx))
+            s2, g2 = sharded(s, geo, gf)
+            g2 = g2.reshape((NT, 7, nz, ny, nx))
+            if tr_mode == "bounceback":
+                dom = rho_r_pre < tr_crit
+                for i in range(1, 7):
+                    dx, dy, dz = E7[i - 1]
+                    io = OPP7[i - 1]
+                    nbr_out = jnp.logical_and(
+                        dom, ~_shift(dom, dx, dy, dz))
+                    leaked = _shift(g2[:, i], dx, dy, dz)
+                    g2 = g2.at[:, io].set(
+                        jnp.where(nbr_out[None], leaked, g2[:, io]))
+                    recv = jnp.logical_and(
+                        ~dom, _shift(dom, -dx, -dy, -dz))
+                    g2 = g2.at[:, i].set(
+                        jnp.where(recv[None], 0.0, g2[:, i]))
+            return s2, g2
+    else:
+        sharded = shard_map(_local_step, mesh=mesh, in_specs=(spec, spec),
+                            out_specs=spec, check_vma=False)
+
+        def step(s):
+            if prologue is not None:
+                s = prologue(s)
+            return sharded(s, geo)
 
     return step
