@@ -37,19 +37,24 @@ def main(which, configs):
                          dtype=jnp.float32)
         f0 = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=120.0)
 
-    for t_block, rows in configs:
+    for cfg in configs:
+        t_block, rows = cfg[0], cfg[1]
+        storage = cfg[2] if len(cfg) > 2 else "f32"
         try:
-            _run_one(m, f0, which, t_block, rows, n)
+            _run_one(m, f0, which, t_block, rows, n, storage)
         except Exception as ex:
-            print(f"{which} T={t_block} R={rows}: FAILED "
+            print(f"{which} T={t_block} R={rows} {storage}: FAILED "
                   f"({type(ex).__name__}: {str(ex)[:120]})")
 
 
-def _run_one(m, f0, which, t_block, rows, n):
+def _run_one(m, f0, which, t_block, rows, n, storage="f32"):
     import jax
     import jax.numpy as jnp
     f = jnp.array(f0)
-    blk = m.make_block_step(steps_per_call=t_block, rows_per_block=rows)
+    if storage == "bf16":
+        f = m.pack_state_bf16(f)
+    blk = m.make_block_step(steps_per_call=t_block, rows_per_block=rows,
+                            storage=storage)
     if blk is None:
         print(f"T={t_block} R={rows}: does not decompose")
         return
@@ -67,8 +72,8 @@ def _run_one(m, f0, which, t_block, rows, n):
     jax.block_until_ready(f)
     dt = time.perf_counter() - t0
     mlups = n * n * (n_calls * t_block) / dt / 1e6
-    fin = bool(np.isfinite(np.asarray(f)).all())
-    print(f"{which} T={t_block} R={rows}: {mlups:.0f} MLUPS "
+    fin = bool(np.isfinite(np.asarray(f, np.float32)).all())
+    print(f"{which} T={t_block} R={rows} {storage}: {mlups:.0f} MLUPS "
           f"({dt / (n_calls * t_block) * 1e3:.3f} ms/step) finite={fin}",
           flush=True)
 
@@ -77,7 +82,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "sc"
     args = sys.argv[2:]
     if args:
-        cfgs = [tuple(int(v) for v in a.split(",")) for a in args]
+        cfgs = [tuple(int(v) if v.isdigit() else v for v in a.split(","))
+                for a in args]
     else:
         cfgs = [(4, 64), (4, 128), (4, 256), (8, 128)]
     main(which, cfgs)

@@ -182,7 +182,8 @@ class ColorGradientRK:
                         rows_per_block: int | None = None,
                         compressed: bool = False,
                         interpret: bool = False,
-                        storage: str = "f32"):
+                        storage: str = "f32",
+                        substep_unroll: int | None = None):
         """Temporally-blocked fused step: advances `steps_per_call` time
         steps per call with boundary rows applied in-kernel between
         sub-steps.  HBM traffic per step drops ~steps_per_call-x on
@@ -198,7 +199,8 @@ class ColorGradientRK:
             self.geo, self.p, self.dtype, rows_per_block,
             steps_per_call=steps_per_call, bc_config=self.bcs,
             state_mode="compressed" if compressed else "split",
-            interpret=interpret, storage=storage)
+            interpret=interpret, storage=storage,
+            substep_unroll=substep_unroll)
 
     # -- initial conditions ----------------------------------------------
     def init_state_layers(self, rho_r: float = 1.0, rho_b: float = 1.0,

@@ -165,13 +165,35 @@ class ShanChenMCMP:
 
     def make_block_step(self, steps_per_call: int = 4,
                         rows_per_block: int | None = None,
-                        interpret: bool = False):
-        """Temporally-blocked fused SC step (see pallas/shanchen.py)."""
+                        interpret: bool = False,
+                        storage: str = "f32"):
+        """Temporally-blocked fused SC step (see pallas/shanchen.py).
+        ``storage='bf16'`` maps the (K, 11, ny, nx) bfloat16 state instead
+        (``pack_state_bf16``): per-fluid PDF deviations + rho hi/lo pair,
+        ~1.6x less HBM traffic at ~2e-3 relative storage rounding."""
         from ..pallas.shanchen import build_sc_fused_step
         return build_sc_fused_step(
             self.geo, self.p, self.dtype, rows_per_block,
             steps_per_call=steps_per_call, bc_config=self.bcs,
-            interpret=interpret)
+            interpret=interpret, storage=storage)
+
+    def pack_state_bf16(self, f):
+        """(K, 9, ny, nx) -> (K, 11, ny, nx) bfloat16 for
+        ``make_block_step(storage='bf16')``: planes 0-8 hold the
+        deviations f_i - w_i*rho_k, planes 9/10 rho_k as a hi/lo pair."""
+        w = jnp.asarray(self.lat.w, f.dtype).reshape(1, 9, 1, 1)
+        rho = jnp.sum(f, axis=1)
+        hi = rho.astype(jnp.bfloat16)
+        lo = (rho - hi.astype(f.dtype)).astype(jnp.bfloat16)
+        dev = (f - w * rho[:, None]).astype(jnp.bfloat16)
+        return jnp.concatenate(
+            [dev, hi[:, None], lo[:, None]], axis=1)
+
+    def unpack_bf16(self, s):
+        """Inverse of ``pack_state_bf16`` (up to deviation rounding)."""
+        rho = s[:, 9].astype(self.dtype) + s[:, 10].astype(self.dtype)
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(1, 9, 1, 1)
+        return s[:, :9].astype(self.dtype) + w * rho[:, None]
 
     # ------------------------------------------------------------------
     def init_state_layers(self, rho_main: tuple, rho_background: tuple,

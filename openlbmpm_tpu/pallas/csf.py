@@ -154,7 +154,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          local_nx: int | None = None,
                          interpret: bool = False,
                          band_wetting: bool = True,
-                         storage: str = "f32"):
+                         storage: str = "f32",
+                         substep_unroll: int | None = None):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
     `transport_params` the coupled step ``(f_r, f_b, g) -> (f_r', f_b',
     g')`` advancing phase-confined tracers alongside the flow (the fused
@@ -253,6 +254,18 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     W = R + 2 * H
     nb = grid_ny // R
     hb = grid_ny // H
+
+    # In-kernel sub-step rolling (``substep_unroll`` = sub-steps per
+    # ``lax.fori_loop`` iteration): Mosaic compiles the loop body ONCE, so
+    # a T=8 kernel with unroll=4 lowers the same module size as T=4 —
+    # ~3 min instead of the ~12-15 min fully-unrolled T=8 compile — while
+    # keeping T=8's halo amortization.  Compressed flow-only (the loop
+    # carry is the 10-plane window); interior iterations keep deferred
+    # solid masking via a traced final-iteration mask.
+    loop_iters = 1
+    if (substep_unroll is not None and compressed and not has_transport
+            and 0 < substep_unroll < T and T % substep_unroll == 0):
+        loop_iters = T // substep_unroll
 
     inlet_kind = getattr(bc_config, "inlet", "periodic")
     outlet_kind = getattr(bc_config, "outlet", "periodic")
@@ -1535,7 +1548,60 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 for k in (0, 1, 2, ny - 2, ny - 1):
                     hit = ((k - start) % ny) < W
                     is_edge = jnp.logical_or(is_edge, hit)
-        for _t in range(T):
+        def _advance_c(ft, rho_r, final_static, fm=None):
+            """One compressed sub-step: BC row rewrites, then
+            collide/recolor/stream.  ``final_static`` statically enables
+            the solid-output masking; ``fm`` (loop mode only) applies a
+            traced mask instead — ones on interior loop iterations, fl on
+            the last — so deferred masking survives the rolled loop."""
+            if has_bcs:
+                if interpret:
+                    _bc_c = (_bc_sliced_c if bc_sliced
+                             else _apply_bcs_window_c)
+                    _rg_c = row0_g if bc_sliced else rows_g
+                    ft, rho_r = jax.lax.cond(
+                        is_edge,
+                        lambda t: _bc_c(list(t[0]), t[1], fl, _rg_c),
+                        lambda t: (list(t[0]), t[1]),
+                        (tuple(ft), rho_r))
+                elif bc_sliced:
+                    ft, rho_r = _bc_sliced_c(ft, rho_r, fl, row0_g)
+                else:
+                    ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, rows_g)
+            if is_pert:
+                ft, rho_r = _substep_pert_c(ft, rho_r, fl, us,
+                                            final=final_static)
+            else:
+                ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y,
+                                       den_inv, us, final=final_static,
+                                       usb_f=usb_f)
+            if fm is not None:
+                ft = [f * fm for f in ft]
+                rho_r = rho_r * fm
+            return ft, rho_r
+
+        if compressed and loop_iters > 1:
+            U = T // loop_iters
+
+            def _loop_body(it, carry):
+                ftc, rrc = list(carry[0]), carry[1]
+                fm_last = None
+                if _defer_ok:
+                    fm_last = jnp.where(it == loop_iters - 1, fl,
+                                        jnp.ones_like(fl))
+                for _u in range(U):
+                    if _defer_ok:
+                        ftc, rrc = _advance_c(
+                            ftc, rrc, False,
+                            fm=fm_last if _u == U - 1 else None)
+                    else:
+                        ftc, rrc = _advance_c(ftc, rrc, True)
+                return (tuple(ftc), rrc)
+
+            ft, rho_r = jax.lax.fori_loop(0, loop_iters, _loop_body,
+                                          (tuple(ft), rho_r))
+            ft = list(ft)
+        for _t in range(T if loop_iters == 1 else 0):
             _final = (not _defer_ok) or _t == T - 1
             if has_transport:
                 # transport sees the CURRENT flow fields (pre-BC), as in
@@ -1564,28 +1630,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             # lax.cond would materialize both branches' outputs (a full
             # state copy on the identity branch) — measured +0.05 ms/step.
             if compressed:
-                if has_bcs:
-                    if interpret:
-                        _bc_c = (_bc_sliced_c if bc_sliced
-                                 else _apply_bcs_window_c)
-                        _rg_c = row0_g if bc_sliced else rows_g
-                        ft, rho_r = jax.lax.cond(
-                            is_edge,
-                            lambda t: _bc_c(list(t[0]), t[1], fl, _rg_c),
-                            lambda t: (list(t[0]), t[1]),
-                            (tuple(ft), rho_r))
-                    elif bc_sliced:
-                        ft, rho_r = _bc_sliced_c(ft, rho_r, fl, row0_g)
-                    else:
-                        ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl,
-                                                        rows_g)
-                if is_pert:
-                    ft, rho_r = _substep_pert_c(ft, rho_r, fl, us,
-                                                final=_final)
-                else:
-                    ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y,
-                                           den_inv, us, final=_final,
-                                           usb_f=usb_f)
+                ft, rho_r = _advance_c(ft, rho_r, _final)
             else:
                 if has_bcs:
                     if interpret:

@@ -94,7 +94,8 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                         steps_per_call: int = 1,
                         bc_config=None,
                         local_ny: int | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        storage: str = "f32"):
     """Build ``f (K, 9, ny, nx) -> f'`` for the Shan-Chen family: original
     SC or explicit-forcing EFS (iso 4/8/10), SRT or constant-matrix MRT,
     psi = rho or Peng-Robinson EOS.  Returns None only when the domain
@@ -110,6 +111,16 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_pr = params.psi == "PR"
     ny, nx = geometry.shape
     is_local = local_ny is not None
+    # bf16 shifted-PDF storage (opt-in): the HBM state becomes, per fluid,
+    # 11 bfloat16 planes — 9 *deviations* f_i - w_i*rho_k plus rho_k as a
+    # hi/lo bf16 pair (exact to ~2^-17).  Unlike the CSF scheme
+    # (pallas/csf.py), the shift is w_i*rho_k reconstructed from the pair
+    # rather than w_i*fl, because MCMP per-fluid densities span orders of
+    # magnitude (dissolved ~0.06 vs bulk ~2).  All VMEM arithmetic stays
+    # f32; HBM traffic drops to 22/36 of the f32 state.
+    bf16 = storage == "bf16"
+    if bf16 and is_local:
+        return None
     grid_ny = int(local_ny) if is_local else ny
     K = params.num_fluids
     T = int(steps_per_call)
@@ -638,7 +649,13 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 u = jnp.where(first, slab_refs[2 * k][:], u)
                 d = jnp.where(last, slab_refs[2 * k + 1][:], d)
             win = jnp.concatenate([u, c[:], d], axis=1)
-            f.append([win[i] for i in range(9)])
+            if bf16:
+                # unshift the stored deviations to f32 once per window
+                rk = win[9].astype(dtype) + win[10].astype(dtype)
+                f.append([win[i].astype(dtype) + float(_W[i]) * rk
+                          for i in range(9)])
+            else:
+                f.append([win[i] for i in range(9)])
         rows_g = row0_g = None
         if T > 1 or has_bcs:
             i0 = pl.program_id(0)
@@ -672,13 +689,28 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 else:
                     f = _apply_outlet_window(f, fl, rows_g)
         for k in range(K):
-            for i in range(9):
-                out_refs[k][i] = f[k][i][H:H + R]
+            if bf16:
+                fk = [f[k][i][H:H + R] for i in range(9)]
+                rho = fk[0]
+                for i in range(1, 9):
+                    rho = rho + fk[i]
+                hi = rho.astype(jnp.bfloat16)
+                for i in range(9):
+                    out_refs[k][i] = (fk[i] - float(_W[i]) * rho) \
+                        .astype(jnp.bfloat16)
+                out_refs[k][9] = hi
+                out_refs[k][10] = (rho - hi.astype(dtype)) \
+                    .astype(jnp.bfloat16)
+            else:
+                for i in range(9):
+                    out_refs[k][i] = f[k][i][H:H + R]
 
-    center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
-    halo_up = pl.BlockSpec((9, H, nx),
+    n_f = 11 if bf16 else 9
+    st_dtype = jnp.bfloat16 if bf16 else dtype
+    center = pl.BlockSpec((n_f, R, nx), lambda i: (0, i, 0))
+    halo_up = pl.BlockSpec((n_f, H, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
-    halo_dn = pl.BlockSpec((9, H, nx),
+    halo_dn = pl.BlockSpec((n_f, H, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0))
     gc = pl.BlockSpec((n_geo, R, nx), lambda i: (0, i, 0))
     gu = pl.BlockSpec((n_geo, H, nx),
@@ -743,9 +775,9 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         kernel,
         grid=(nb,),
         in_specs=[*([center, halo_up, halo_dn] * K), gc, gu, gd],
-        out_specs=tuple(pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
+        out_specs=tuple(pl.BlockSpec((n_f, R, nx), lambda i: (0, i, 0))
                         for _ in range(K)),
-        out_shape=tuple(jax.ShapeDtypeStruct((9, ny, nx), dtype)
+        out_shape=tuple(jax.ShapeDtypeStruct((n_f, ny, nx), st_dtype)
                         for _ in range(K)),
         scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
@@ -753,7 +785,8 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     )
 
     def step(f):
-        """f: (K, 9, ny, nx) -> (K, 9, ny, nx)."""
+        """f: (K, 9, ny, nx) -> same (or (K, 11, ny, nx) bf16 when
+        ``storage='bf16'``; see ``ShanChenMCMP.pack_state_bf16``)."""
         parts = []
         for k in range(K):
             parts.extend([f[k]] * 3)

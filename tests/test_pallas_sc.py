@@ -154,3 +154,47 @@ def test_sc_fused_three_fluids_matches_jnp():
         a = m._step_sc(a)
         c = fused(c)
     assert float(jnp.max(jnp.abs(a - c))) < 5e-6
+
+
+def test_sc_bf16_storage_tracks_f32():
+    """bf16 shifted-PDF storage (storage='bf16') tracks the f32 SC
+    trajectory: PDF planes inherit the bf16 rounding of the stored
+    deviations f_i - w_i*rho_k, while each rho_k rides a hi/lo bf16 pair
+    (~2^-17) so densities keep near-f32 precision.  Unlike the CSF scheme
+    the shift is w_i*rho_k (MCMP densities span 0.02..2), see
+    pallas/shanchen.py storage='bf16'."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = SCBoundaryConfig(inlet="zou_he_velocity", outlet="convective",
+                           inlet_velocity=(-1e-3, 0.0),
+                           outlet_density=(0.02, 1.0))
+    p = _params(g_solid=(-0.3, 0.3), tau=(1.0, 1.0))
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, bcs,
+                     dtype=jnp.float32, use_pallas=False)
+    f32_step = m.make_block_step(steps_per_call=2, rows_per_block=8,
+                                 interpret=True)
+    bf_step = m.make_block_step(steps_per_call=2, rows_per_block=8,
+                                interpret=True, storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    a = m.init_state_layers((1.0, 1.0), (0.02, 0.02), invading_rows=8)
+    h = m.pack_state_bf16(a)
+
+    # pack/unpack round-trip: deviation rounding only, rho near-exact
+    rt = m.unpack_bf16(h)
+    assert float(jnp.max(jnp.abs(rt - a))) < 2e-3
+    rho_rt = jnp.sum(rt, axis=1)
+    assert float(jnp.max(jnp.abs(rho_rt - jnp.sum(a, axis=1)))) < 1e-4
+
+    s = a
+    for _ in range(3):
+        s = f32_step(s)
+        h = bf_step(h)
+    assert h.dtype == jnp.bfloat16 and h.shape[1] == 11
+    u = m.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    assert float(jnp.max(jnp.abs(u - s))) < 5e-3
+    # per-fluid mass within storage rounding
+    for k in range(2):
+        ms_ = float(jnp.sum(s[k]))
+        assert abs(float(jnp.sum(u[k])) - ms_) / ms_ < 1e-3
