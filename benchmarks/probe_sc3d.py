@@ -29,16 +29,21 @@ def main(n, configs):
                        use_pallas=False)
     f0 = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=n / 4)
 
-    for t_block, rows in configs:
+    for cfg in configs:
+        t_block, rows = cfg[0], cfg[1]
+        storage = cfg[2] if len(cfg) > 2 else "f32"
         try:
             fused = build_sc3d_fused_step(m.geo, p, jnp.float32,
                                           slabs_per_block=rows or None,
-                                          steps_per_call=t_block)
+                                          steps_per_call=t_block,
+                                          storage=storage)
             if fused is None:
-                print(f"T={t_block} R={rows}: does not decompose",
-                      flush=True)
+                print(f"T={t_block} R={rows} {storage}: does not "
+                      "decompose", flush=True)
                 continue
             f = jnp.array(f0)
+            if storage == "bf16":
+                f = m.pack_state_bf16(f)
 
             def steps(k, s):
                 return jax.lax.fori_loop(0, k, lambda _, x: fused(x), s)
@@ -54,9 +59,9 @@ def main(n, configs):
                 jax.block_until_ready(f)
                 dt = min(dt, time.perf_counter() - t0)
             mlups = n ** 3 * (n_calls * t_block) / dt / 1e6
-            fin = bool(np.isfinite(np.asarray(f)).all())
-            print(f"T={t_block} R={rows}: {mlups:.0f} MLUPS finite={fin}",
-                  flush=True)
+            fin = bool(np.isfinite(np.asarray(f, np.float32)).all())
+            print(f"T={t_block} R={rows} {storage}: {mlups:.0f} MLUPS "
+                  f"finite={fin}", flush=True)
         except Exception as ex:
             print(f"T={t_block} R={rows}: FAILED "
                   f"({type(ex).__name__}: {str(ex)[:150]})", flush=True)
@@ -65,6 +70,7 @@ def main(n, configs):
 if __name__ == "__main__":
     args = sys.argv[1:]
     n = int(args[0]) if args else 128
-    cfgs = ([tuple(int(v) for v in a.split(",")) for a in args[1:]]
+    cfgs = ([tuple(int(v) if v.isdigit() else v for v in a.split(","))
+             for a in args[1:]]
             if len(args) > 1 else [(1, 8), (2, 8), (1, 4)])
     main(n, cfgs)

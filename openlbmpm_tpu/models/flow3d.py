@@ -255,11 +255,35 @@ class ShanChenMCMP3D:
 
     def make_block_step(self, steps_per_call: int = 2,
                         slabs_per_block: int | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        storage: str = "f32"):
+        """``storage='bf16'`` maps the (K, 21, nz, ny, nx) bfloat16
+        state (``pack_state_bf16``): per-fluid PDF deviations + rho
+        hi/lo pair, ~1.8x less state traffic at ~2e-3 relative storage
+        rounding (see pallas/sc3d.py)."""
         from ..pallas.sc3d import build_sc3d_fused_step
         return build_sc3d_fused_step(
             self.geo, self.p, self.dtype, slabs_per_block,
-            steps_per_call=steps_per_call, interpret=interpret)
+            steps_per_call=steps_per_call, interpret=interpret,
+            storage=storage)
+
+    def pack_state_bf16(self, f):
+        """(K, 19, nz, ny, nx) -> (K, 21, ...) bfloat16 for
+        ``make_block_step(storage='bf16')``: planes 0-18 hold the
+        deviations f_i - w_i*rho_k, planes 19/20 rho_k as a hi/lo
+        pair."""
+        w = jnp.asarray(self.lat.w, f.dtype).reshape(1, 19, 1, 1, 1)
+        rho = jnp.sum(f, axis=1)
+        hi = rho.astype(jnp.bfloat16)
+        lo = (rho - hi.astype(f.dtype)).astype(jnp.bfloat16)
+        dev = (f - w * rho[:, None]).astype(jnp.bfloat16)
+        return jnp.concatenate([dev, hi[:, None], lo[:, None]], axis=1)
+
+    def unpack_bf16(self, s):
+        """Inverse of ``pack_state_bf16`` (up to deviation rounding)."""
+        rho = s[:, 19].astype(self.dtype) + s[:, 20].astype(self.dtype)
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(1, 19, 1, 1, 1)
+        return s[:, :19].astype(self.dtype) + w * rho[:, None]
 
     def _step_impl(self, f):
         if self._fused is not None:

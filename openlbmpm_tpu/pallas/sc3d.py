@@ -80,7 +80,8 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                           slabs_per_block: int | None = None,
                           steps_per_call: int = 1,
                           local_nz: int | None = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          storage: str = "f32"):
     """Build the fused step ``f (K, 19, nz, ny, nx) -> f'`` advancing
     ``steps_per_call`` SC time steps per call.  Returns None when the
     domain does not slab-decompose or VMEM would overflow.
@@ -105,6 +106,14 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     if getattr(params, "psi", "rho") != "rho":
         return None  # 3D SC model is psi = rho (flow3d.ShanChenMCMP3D)
 
+    # bf16 shifted-PDF storage: per fluid 21 bfloat16 planes — 19
+    # deviations f_i - w_i*rho_k plus rho_k as a hi/lo bf16 pair — the
+    # 2D scheme of pallas/shanchen.py storage='bf16' on D3Q19 (state
+    # traffic 42/76 of f32); VMEM arithmetic stays f32.
+    bf16 = storage == "bf16"
+    if bf16 and is_local:
+        return None
+
     need = 2 * T  # 2 halo slabs per sub-step: stencil ring + streaming
     grid_nz = int(local_nz) if is_local else nz
 
@@ -122,11 +131,19 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             h = _pick_h(r)
             if h is None:
                 continue
-            planes = (n_state + 12) * (r + 2 * h) + n_state * r
+            if bf16:
+                # bf16 windows (half-width) live alongside their f32
+                # decode; outputs are half-width.  Calibrated: K=2 at
+                # 128^3 R=8/H=2 models 128 MB and compiles/runs (1044
+                # MLUPS); R=16 and T=2/R=8 (219/163 MB) both OOM.
+                planes = (n_state + (n_state + 2 * K) // 2 + 12) * \
+                    (r + 2 * h) + (n_state + 2 * K) * r // 2
+            else:
+                planes = (n_state + 12) * (r + 2 * h) + n_state * r
             mb = planes * ny * nx * 4 * 2.0 / 2**20
             # calibrated against the 126 MB scoped limit: K=2 at 128^3
             # R=8/H=2 models 113 MB and compiles at ~121 MB actual
-            if mb <= 118:
+            if mb <= (145 if bf16 else 118):
                 slabs_per_block = r
                 break
         else:
@@ -282,7 +299,13 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 u = jnp.where(first, slab_refs[2 * k][:], u)
                 d = jnp.where(last, slab_refs[2 * k + 1][:], d)
             win = jnp.concatenate([u, c[:], d], axis=1)
-            f.append([win[i] for i in range(Q)])
+            if bf16:
+                # unshift the stored deviations to f32 once per window
+                rk = win[Q].astype(dtype) + win[Q + 1].astype(dtype)
+                f.append([win[i].astype(dtype) + float(w_lat[i]) * rk
+                          for i in range(Q)])
+            else:
+                f.append([win[i] for i in range(Q)])
         for t in range(T):
             base = 2 * t
 
@@ -297,13 +320,28 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             f = _substep(f, gcut_s, solid_sh_s)
         o0 = H - 2 * T
         for k in range(K):
-            for i in range(Q):
-                outs[k][i] = f[k][i][o0:o0 + R]
+            if bf16:
+                fk = [f[k][i][o0:o0 + R] for i in range(Q)]
+                rho = fk[0]
+                for i in range(1, Q):
+                    rho = rho + fk[i]
+                hi = rho.astype(jnp.bfloat16)
+                for i in range(Q):
+                    outs[k][i] = (fk[i] - float(w_lat[i]) * rho) \
+                        .astype(jnp.bfloat16)
+                outs[k][Q] = hi
+                outs[k][Q + 1] = (rho - hi.astype(dtype)) \
+                    .astype(jnp.bfloat16)
+            else:
+                for i in range(Q):
+                    outs[k][i] = f[k][i][o0:o0 + R]
 
-    center = pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0))
-    halo_up = pl.BlockSpec((Q, H, ny, nx),
+    n_f = Q + 2 if bf16 else Q
+    st_dtype = jnp.bfloat16 if bf16 else dtype
+    center = pl.BlockSpec((n_f, R, ny, nx), lambda i: (0, i, 0, 0))
+    halo_up = pl.BlockSpec((n_f, H, ny, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0, 0))
-    halo_dn = pl.BlockSpec((Q, H, ny, nx),
+    halo_dn = pl.BlockSpec((n_f, H, ny, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
     gc = pl.BlockSpec((n_geo, R, ny, nx), lambda i: (0, i, 0, 0))
     gu = pl.BlockSpec((n_geo, H, ny, nx),
@@ -323,9 +361,11 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0))
+        out_specs=tuple(pl.BlockSpec((n_f, R, ny, nx),
+                                     lambda i: (0, i, 0, 0))
                         for _ in range(K)),
-        out_shape=tuple(jax.ShapeDtypeStruct((Q, grid_nz, ny, nx), dtype)
+        out_shape=tuple(jax.ShapeDtypeStruct((n_f, grid_nz, ny, nx),
+                                             st_dtype)
                         for _ in range(K)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024,

@@ -107,3 +107,36 @@ def test_coupled3d_fused_matches_jnp():
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(state[2]), np.asarray(g),
                                rtol=0, atol=1e-12)
+
+
+def test_sc3d_bf16_storage_tracks_f32():
+    """bf16 shifted-PDF storage on D3Q19 SC (storage='bf16') tracks the
+    f32 trajectory: deviations f_i - w_i*rho_k round at bf16, rho_k
+    rides a hi/lo pair (same scheme as pallas/shanchen.py)."""
+    n = 16
+    p = ShanChenParams3D(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                         g_solid=(0.0, 0.0), tau=(1.0, 0.8))
+    m = ShanChenMCMP3D(geo.from_solid_mask(np.zeros((n, n, n), bool)), p,
+                       dtype=jnp.float32, use_pallas=False)
+    f32_step = m.make_block_step(steps_per_call=1, slabs_per_block=4,
+                                 interpret=True)
+    bf_step = m.make_block_step(steps_per_call=1, slabs_per_block=4,
+                                interpret=True, storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=5.0)
+    h = m.pack_state_bf16(f)
+    rt = m.unpack_bf16(h)
+    assert float(jnp.max(jnp.abs(rt - f))) < 2e-3
+    assert float(jnp.max(jnp.abs(jnp.sum(rt, axis=1) -
+                                 jnp.sum(f, axis=1)))) < 1e-4
+    s = f
+    for _ in range(3):
+        s = f32_step(s)
+        h = bf_step(h)
+    assert h.dtype == jnp.bfloat16 and h.shape[1] == 21
+    u = m.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    assert float(jnp.max(jnp.abs(u - s))) < 5e-3
+    for k in range(2):
+        ms_ = float(jnp.sum(s[k]))
+        assert abs(float(jnp.sum(u[k])) - ms_) / ms_ < 1e-3
