@@ -97,17 +97,18 @@ def main():
     # precision through the rho_r hi/lo pair); falls back to the
     # single-step split path off-TPU.
     #
-    # T=8 measures ~15% over T=4 in the same session (5316 vs 4638;
-    # RESULTS.md r4) and 5239-5269 on the standard bench, but its cold
-    # Mosaic compile is ~12-15 min (the 8-substep unrolled kernel lowers
-    # to a ~42 MB module) and the persistent compile cache does NOT hit
-    # across processes for this program (measured: two runs write two
-    # different cache keys), so every run pays it.  T=4 compiles in
-    # ~3 min.  Default to the driver-safe T=4; BENCH_T=8 opts in.
+    # T=8 early measurements suggested ~15% over T=4 (5316 vs 4638) but
+    # a cleaner same-chip back-to-back A/B (probe_loop.py, RESULTS.md
+    # r4 substep_unroll section) shows them tied (5123.7 vs 5119.7):
+    # the kernel is VPU-bound, so deeper halo amortization buys nothing
+    # at R=256.  Default stays T=4 (~3 min cold compile); BENCH_T=8
+    # opts in via the rolled-loop kernel (substep_unroll=4), which
+    # compiles in ~3 min instead of the ~12-15 min unrolled module.
     import os as _os
     t_block = int(_os.environ.get("BENCH_T", "4"))
     block = model.make_block_step(steps_per_call=t_block, rows_per_block=256,
-                                  compressed=True, storage="bf16")
+                                  compressed=True, storage="bf16",
+                                  substep_unroll=4 if t_block > 4 else None)
     if block is not None:
         state = (model.pack_state_bf16(f_r, f_b),)
     else:

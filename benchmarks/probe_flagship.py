@@ -1,6 +1,7 @@
 """Chip sweep of the flagship config: temporal block T x strip rows R.
 
-Usage: python benchmarks/probe_flagship.py [T,R [T,R ...]]
+Usage: python benchmarks/probe_flagship.py [T,R[,storage] ...]
+Set PROBE_VARIANT=Perturbation for the RK-perturbation variant.
 Prints one line per (T, R): compile status + MLUPS.
 """
 
@@ -36,7 +37,8 @@ def main():
     solid[:, 0] = solid[:, -1] = True
     params = ColorGradientParams(
         tau_r=1.0, tau_b=1.0, surface_tension=0.1, contact_angle_deg=60.0,
-        beta=0.7, delta=0.98, tau_type=2, wetting_type=2, variant="CSF",
+        beta=0.7, delta=0.98, tau_type=2, wetting_type=2,
+        variant=os.environ.get("PROBE_VARIANT", "CSF"),
         collision="MRT")
     bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
                            inlet_velocity=-1e-4, outlet_density_r=0.0,

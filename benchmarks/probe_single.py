@@ -25,14 +25,18 @@ def main(configs):
                         dtype=jnp.float32)
     f0 = m.init_state()
 
-    for t_block, rows in configs:
+    for cfg in configs:
+        t_block, rows = cfg[0], cfg[1]
+        storage = cfg[2] if len(cfg) > 2 else "f32"
         try:
             f = jnp.array(f0)
+            if storage == "bf16":
+                f = m.pack_state_bf16(f)
             blk = m.make_block_step(steps_per_call=t_block,
-                                    rows_per_block=rows)
+                                    rows_per_block=rows, storage=storage)
             if blk is None:
-                print(f"T={t_block} R={rows}: does not decompose",
-                      flush=True)
+                print(f"T={t_block} R={rows} {storage}: does not "
+                      "decompose", flush=True)
                 continue
 
             def steps(k, s):
@@ -47,8 +51,8 @@ def main(configs):
             jax.block_until_ready(f)
             dt = time.perf_counter() - t0
             mlups = nx * ny * (n_calls * t_block) / dt / 1e6
-            fin = bool(np.isfinite(np.asarray(f)).all())
-            print(f"T={t_block} R={rows}: {mlups:.0f} MLUPS "
+            fin = bool(np.isfinite(np.asarray(f, np.float32)).all())
+            print(f"T={t_block} R={rows} {storage}: {mlups:.0f} MLUPS "
                   f"({dt / (n_calls * t_block) * 1e3:.4f} ms/step) "
                   f"finite={fin}", flush=True)
         except Exception as ex:
@@ -58,6 +62,7 @@ def main(configs):
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    cfgs = ([tuple(int(v) for v in a.split(",")) for a in args]
+    cfgs = ([tuple(int(v) if v.isdigit() else v for v in a.split(","))
+             for a in args]
             if args else [(4, 256), (4, 128)])
     main(cfgs)

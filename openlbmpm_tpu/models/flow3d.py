@@ -103,12 +103,34 @@ class SinglePhaseD3Q19:
 
     def make_block_step(self, steps_per_call: int = 4,
                         slabs_per_block: int | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        storage: str = "f32"):
+        """``storage='bf16'`` maps the (21, nz, ny, nx) bfloat16 state
+        (``pack_state_bf16``): PDF deviations + rho hi/lo pair, ~1.8x
+        less state traffic at ~2e-3 relative storage rounding (see
+        pallas/single3d.py)."""
         from ..pallas.single3d import build_single3d_fused_step
         return build_single3d_fused_step(
             self.geo, self.tau, self.collision, self.body_force,
             self.dtype, slabs_per_block, steps_per_call=steps_per_call,
-            interpret=interpret)
+            interpret=interpret, storage=storage)
+
+    def pack_state_bf16(self, f):
+        """(19, nz, ny, nx) -> (21, ...) bfloat16 for
+        ``make_block_step(storage='bf16')``: planes 0-18 hold the
+        deviations f_i - w_i*rho, planes 19/20 rho as a hi/lo pair."""
+        w = jnp.asarray(self.lat.w, f.dtype).reshape(19, 1, 1, 1)
+        rho = jnp.sum(f, axis=0)
+        hi = rho.astype(jnp.bfloat16)
+        lo = (rho - hi.astype(f.dtype)).astype(jnp.bfloat16)
+        dev = (f - w * rho).astype(jnp.bfloat16)
+        return jnp.concatenate([dev, hi[None], lo[None]], axis=0)
+
+    def unpack_bf16(self, s):
+        """Inverse of ``pack_state_bf16`` (up to deviation rounding)."""
+        rho = s[19].astype(self.dtype) + s[20].astype(self.dtype)
+        w = jnp.asarray(self.lat.w, self.dtype).reshape(19, 1, 1, 1)
+        return s[:19].astype(self.dtype) + w * rho
 
     def init_state(self, rho0: float = 1.0):
         rho = jnp.full(self.geo.shape, rho0, self.dtype) * self.fluid_mask

@@ -48,7 +48,8 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
                                   rows_per_block: int | None = None,
                                   steps_per_call: int = 1,
                                   local_ny: int | None = None,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  storage: str = "f32"):
     """Build ``f (9, ny, nx) -> f'`` advancing `steps_per_call` single-phase
     time steps per call.  Returns None when the domain does not
     strip-decompose or a BC kind is unsupported in-kernel.
@@ -58,6 +59,12 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
     global row offset, as pallas/shanchen.py."""
     ny, nx = geometry.shape
     is_local = local_ny is not None
+    # bf16 shifted-PDF storage: 11 bfloat16 planes — 9 deviations
+    # f_i - w_i*rho plus rho as a hi/lo bf16 pair (the
+    # pallas/shanchen.py scheme at K=1); VMEM arithmetic stays f32.
+    bf16 = storage == "bf16"
+    if bf16 and is_local:
+        return None
     grid_ny = int(local_ny) if is_local else ny
     T = int(steps_per_call)
     H = _halo_rows(T)
@@ -338,7 +345,13 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
             geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
             win = jnp.concatenate([f_u[:], f_c[:], f_d[:]], axis=1)
         fl = geo[0]
-        f = [win[i] for i in range(9)]
+        if bf16:
+            # unshift the stored deviations to f32 once per window
+            rho_in = win[9].astype(dtype) + win[10].astype(dtype)
+            f = [win[i].astype(dtype) + float(_W[i]) * rho_in
+                 for i in range(9)]
+        else:
+            f = [win[i] for i in range(9)]
         rows_g = row0_g = None
         if has_bcs:
             i0 = pl.program_id(0)
@@ -358,13 +371,26 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
                     f = _bc_sliced_apply(f, fl, row0_g)
                 else:
                     f = _apply_bcs_window(f, fl, rows_g)
-        for i in range(9):
-            out[i] = f[i][H:H + R]
+        if bf16:
+            fc = [f[i][H:H + R] for i in range(9)]
+            rho = fc[0]
+            for i in range(1, 9):
+                rho = rho + fc[i]
+            hi = rho.astype(jnp.bfloat16)
+            for i in range(9):
+                out[i] = (fc[i] - float(_W[i]) * rho).astype(jnp.bfloat16)
+            out[9] = hi
+            out[10] = (rho - hi.astype(dtype)).astype(jnp.bfloat16)
+        else:
+            for i in range(9):
+                out[i] = f[i][H:H + R]
 
-    center = pl.BlockSpec((9, R, nx), lambda i: (0, i, 0))
-    halo_up = pl.BlockSpec((9, H, nx),
+    n_f = 11 if bf16 else 9
+    st_dtype = jnp.bfloat16 if bf16 else dtype
+    center = pl.BlockSpec((n_f, R, nx), lambda i: (0, i, 0))
+    halo_up = pl.BlockSpec((n_f, H, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0))
-    halo_dn = pl.BlockSpec((9, H, nx),
+    halo_dn = pl.BlockSpec((n_f, H, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0))
     gc = pl.BlockSpec((1, R, nx), lambda i: (0, i, 0))
     gu = pl.BlockSpec((1, H, nx), lambda i: (0, (i * (R // H) - 1) % hb, 0))
@@ -415,8 +441,8 @@ def build_single_phase_fused_step(geometry: Geometry, tau: float,
         kernel,
         grid=(nb,),
         in_specs=[center, halo_up, halo_dn, gc, gu, gd],
-        out_specs=pl.BlockSpec((9, R, nx), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((9, ny, nx), dtype),
+        out_specs=pl.BlockSpec((n_f, R, nx), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_f, ny, nx), st_dtype),
         scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,

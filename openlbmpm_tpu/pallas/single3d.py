@@ -50,7 +50,8 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
                               dtype=jnp.float32,
                               slabs_per_block: int | None = None,
                               steps_per_call: int = 1,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              storage: str = "f32"):
     """Build ``f (19, nz, ny, nx) -> f'`` advancing `steps_per_call`
     single-phase steps per call.  Returns None when the domain does not
     slab-decompose or the collision kind is unsupported."""
@@ -66,6 +67,11 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
     tau = float(tau)
     bf = tuple(float(v) for v in body_force)
     has_force = any(bf)
+    # bf16 shifted-PDF storage: 21 bfloat16 planes — 19 deviations
+    # f_i - w_i*rho plus rho as a hi/lo bf16 pair (the pallas/sc3d.py
+    # scheme at K=1; state traffic 42/76 of f32); VMEM arithmetic
+    # stays f32.
+    bf16 = storage == "bf16"
 
     need = T  # one halo slab per sub-step (streaming only)
 
@@ -82,7 +88,13 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
             h = _pick_h(r)
             if h is None:
                 continue
-            planes = (Q + 4) * (r + 2 * h) + Q * r
+            if bf16:
+                # bf16 windows (half-width) live alongside their f32
+                # decode; outputs are half-width
+                planes = (Q + (Q + 2) // 2 + 4) * (r + 2 * h) + \
+                    (Q + 2) * r // 2
+            else:
+                planes = (Q + 4) * (r + 2 * h) + Q * r
             if planes * ny * nx * 4 * 2.0 / 2**20 <= 110:
                 slabs_per_block = r
                 break
@@ -194,7 +206,13 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
         geo = jnp.concatenate([g_u[:], g_c[:], g_d[:]], axis=1)
         solid = 1.0 - geo[0]
         win = jnp.concatenate([f_u[:], f_c[:], f_d[:]], axis=1)
-        f = [win[i] for i in range(Q)]
+        if bf16:
+            # unshift the stored deviations to f32 once per window
+            rho_in = win[Q].astype(dtype) + win[Q + 1].astype(dtype)
+            f = [win[i].astype(dtype) + float(w_lat[i]) * rho_in
+                 for i in range(Q)]
+        else:
+            f = [win[i] for i in range(Q)]
         for t in range(T):
             base = t
 
@@ -209,13 +227,27 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
             f = _substep(f, gcut_s, solid_sh_s)
         o0 = H - T
         out = outs[0]
-        for i in range(Q):
-            out[i] = f[i][o0:o0 + R]
+        if bf16:
+            fc = [f[i][o0:o0 + R] for i in range(Q)]
+            rho = fc[0]
+            for i in range(1, Q):
+                rho = rho + fc[i]
+            hi = rho.astype(jnp.bfloat16)
+            for i in range(Q):
+                out[i] = (fc[i] - float(w_lat[i]) * rho) \
+                    .astype(jnp.bfloat16)
+            out[Q] = hi
+            out[Q + 1] = (rho - hi.astype(dtype)).astype(jnp.bfloat16)
+        else:
+            for i in range(Q):
+                out[i] = f[i][o0:o0 + R]
 
-    center = pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0))
-    halo_up = pl.BlockSpec((Q, H, ny, nx),
+    n_f = Q + 2 if bf16 else Q
+    st_dtype = jnp.bfloat16 if bf16 else dtype
+    center = pl.BlockSpec((n_f, R, ny, nx), lambda i: (0, i, 0, 0))
+    halo_up = pl.BlockSpec((n_f, H, ny, nx),
                            lambda i: (0, (i * (R // H) - 1) % hb, 0, 0))
-    halo_dn = pl.BlockSpec((Q, H, ny, nx),
+    halo_dn = pl.BlockSpec((n_f, H, ny, nx),
                            lambda i: (0, (i * (R // H) + R // H) % hb, 0, 0))
     gc = pl.BlockSpec((1, R, ny, nx), lambda i: (0, i, 0, 0))
     gu = pl.BlockSpec((1, H, ny, nx),
@@ -227,8 +259,9 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
         kernel,
         grid=(nb,),
         in_specs=[center, halo_up, halo_dn, gc, gu, gd],
-        out_specs=(pl.BlockSpec((Q, R, ny, nx), lambda i: (0, i, 0, 0)),),
-        out_shape=(jax.ShapeDtypeStruct((Q, nz, ny, nx), dtype),),
+        out_specs=(pl.BlockSpec((n_f, R, ny, nx),
+                                lambda i: (0, i, 0, 0)),),
+        out_shape=(jax.ShapeDtypeStruct((n_f, nz, ny, nx), st_dtype),),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
@@ -236,7 +269,7 @@ def build_single3d_fused_step(geometry: Geometry, tau: float,
     )
 
     def step(f):
-        """f: (19, nz, ny, nx) -> (19, nz, ny, nx)."""
+        """f: (n_f, nz, ny, nx) -> same (n_f = 21 bf16 / 19 f32)."""
         return call(f, f, f, geo_dev, geo_dev, geo_dev)[0]
 
     return step

@@ -730,3 +730,35 @@ def test_csf_bf16_storage_tracks_f32():
     # per-color mass conservation within storage rounding
     assert abs(float(jnp.sum(u[9]) - jnp.sum(s[9]))) / \
         float(jnp.sum(s[9])) < 1e-3
+
+
+def test_pert_bf16_storage_tracks_f32():
+    """storage='bf16' composes with the Perturbation variant (same
+    compressed (f_total, rho_r) state as CSF): the bf16 trajectory
+    tracks f32 within storage rounding."""
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="Perturbation", collision="MRT", surface_tension=0.01,
+        tau_r=1.0, tau_b=0.8, tau_type=2, wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="convective",
+                           inlet_velocity=-1e-4)
+    m = ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                        dtype=jnp.float32, use_pallas=False)
+    f32_step = m.make_block_step(steps_per_call=2, rows_per_block=16,
+                                 compressed=True, interpret=True)
+    bf_step = m.make_block_step(steps_per_call=2, rows_per_block=16,
+                                compressed=True, interpret=True,
+                                storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    a, b = m.init_state_layers(1.0, 1.0, invading_rows=10)
+    s = m.pack_state(a, b)
+    h = m.pack_state_bf16(a, b)
+    for _ in range(3):
+        s = f32_step(s)
+        h = bf_step(h)
+    u = m.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    assert float(jnp.max(jnp.abs(u[:9] - s[:9]))) < 2e-2
+    assert float(jnp.max(jnp.abs(u[9] - s[9]))) < 2e-2

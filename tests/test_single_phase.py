@@ -132,3 +132,38 @@ def test_lid_driven_cavity_ghia_re100():
     assert prof[-1] > 0.9
     # mass stays bounded (wall injects momentum, not mass)
     assert abs(float(jnp.sum(f)) / (n * n) - 1.0) < 1e-2
+
+
+def test_single_bf16_storage_tracks_f32():
+    """storage='bf16' (11-plane deviation + rho hi/lo state, see
+    pallas/single.py) tracks the f32 fused trajectory within storage
+    rounding."""
+    ny, nx = 32, 24
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    bcs = BoundaryConfig(inlet="zou_he_velocity", outlet="zou_he_pressure",
+                         inlet_velocity=-1e-3, outlet_density=1.0)
+    m = SinglePhaseD2Q9(geo.from_solid_mask(solid), tau=0.8,
+                        collision="MRT", boundaries=bcs,
+                        dtype=jnp.float32)
+    f32_step = m.make_block_step(steps_per_call=2, rows_per_block=16,
+                                 interpret=True)
+    bf_step = m.make_block_step(steps_per_call=2, rows_per_block=16,
+                                interpret=True, storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    f = m.init_state()
+    h = m.pack_state_bf16(f)
+    rt = m.unpack_bf16(h)
+    assert float(jnp.max(jnp.abs(rt - f))) < 2e-3
+    assert float(jnp.max(jnp.abs(jnp.sum(rt, axis=0) -
+                                 jnp.sum(f, axis=0)))) < 1e-4
+    s = f
+    for _ in range(3):
+        s = f32_step(s)
+        h = bf_step(h)
+    assert h.dtype == jnp.bfloat16 and h.shape[0] == 11
+    u = m.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    assert float(jnp.max(jnp.abs(u - s))) < 5e-3
+    ms_ = float(jnp.sum(s))
+    assert abs(float(jnp.sum(u)) - ms_) / ms_ < 1e-3
