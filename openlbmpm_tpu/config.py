@@ -158,6 +158,11 @@ def load_colorgradient(path: str):
                                     default=0.0),
         outlet_density_b=ini.number("BoundaryCondition", "densityBL",
                                     default=1.0),
+        # optional key, not in the reference dialect: 'no' reproduces the
+        # reference's misspelling-gated behavior where the phi outlet
+        # repair never fires in the pure CG loops (see CGBoundaryConfig)
+        phi_outlet_repair=ini.yesno("BoundaryCondition", "PhiOutletRepair",
+                                    default="yes"),
     )
     domain = DomainSpec(
         nx=ini.integer("DomainSize", "xDomain", default=20),
@@ -370,6 +375,89 @@ def load_transport(path: str, num_default_tracers: int = 1):
                         default="none").lower(),
     )
     return params
+
+
+def load_shanchen3d(path: str):
+    """Parse a 3D Shan-Chen config (this framework's dialect: the
+    reference driver imports 3D SC modules that are absent from its
+    snapshot, ``main.py:15-22``, and ships no 3D SC INI).  Keys follow
+    the 2D ``shanchen2D.ini``/``twophasesetup.ini`` names plus a
+    DomainSize section with zDomain."""
+    from .models.flow3d import ShanChenParams3D
+    ini = LegacyIni(path)
+    num_fluids = ini.integer("FluidsTypes", "NumberOfFluids", default=2)
+    tau = ini.floats("FluidProperties", "FluidsTau", default="1.0,1.0")
+    g_fluid = ini.floats("ShanChenParameters", "interactionFluid",
+                         default="3.6")
+    g_solid = ini.floats("ShanChenParameters", "interactionSolid",
+                         default=",".join(["0.0"] * num_fluids))
+    g = np.zeros((num_fluids, num_fluids))
+    idx = 0
+    vals = list(g_fluid)
+    for i in range(num_fluids - 1):
+        for j in range(i + 1, num_fluids):
+            v = vals[idx % len(vals)]
+            g[i, j] = g[j, i] = v
+            idx += 1
+    body = ini.yesno("BodyForce", "Option", default="no")
+    params = ShanChenParams3D(
+        g_matrix=tuple(map(tuple, g)),
+        g_solid=tuple(g_solid),
+        tau=tuple(tau),
+        body_force=(ini.number("BodyForce", "forceXG", default=0.0),
+                    ini.number("BodyForce", "forceYG", default=0.0),
+                    ini.number("BodyForce", "forceZG", default=0.0))
+        if body else (0.0, 0.0, 0.0),
+    )
+    domain3d = {
+        "nx": ini.integer("DomainSize", "xDomain", default=32),
+        "ny": ini.integer("DomainSize", "yDomain", default=32),
+        "nz": ini.integer("DomainSize", "zDomain", default=64),
+    }
+    run = RunSpec(
+        num_steps=ini.integer("Time", "numberTimeStep", default=1000),
+        io_interval=ini.integer("Time", "TimeInterval", default=500),
+    )
+    extras = {
+        "initial_densities": ini.floats("FluidProperties",
+                                        "InitialDensities",
+                                        default="1.0,1.0"),
+        "background_densities": ini.floats("FluidProperties",
+                                           "BackgroundDensities",
+                                           default="0.02,0.02"),
+        "radius": ini.number("InitialCondition", "DropletRadius",
+                             default=8.0),
+    }
+    return params, domain3d, run, extras
+
+
+def load_basic3d(path: str):
+    """Parse a 3D single-phase config (this framework's dialect; keys
+    follow ``basicsetup.ini`` plus a Geometry nz)."""
+    ini = LegacyIni(path)
+    domain3d = {
+        "nx": ini.integer("Geometry", "nx", default=32),
+        "ny": ini.integer("Geometry", "ny", default=32),
+        "nz": ini.integer("Geometry", "nz", default=64),
+    }
+    t_len = ini.number("Time", "TimeLength", default="1000")
+    t_step = ini.number("Time", "TimeStep", default="1.0")
+    num_steps = max(1, int(round(t_len / max(t_step, 1e-30))))
+    run = RunSpec(
+        num_steps=num_steps,
+        io_interval=ini.integer("Time", "TimeInterval",
+                                default=str(max(1, num_steps // 10))),
+    )
+    collision = ini.text("Scheme", "Type", default="SRT").upper()
+    if collision not in ("SRT", "TRT"):
+        collision = "SRT"
+    solver_kw = dict(
+        tau=ini.number("FluidParameters", "Tau", default="1.0"),
+        collision=collision,
+        body_force=(0.0, 0.0,
+                    ini.number("BodyForce", "gValue", default="0.0")),
+    )
+    return solver_kw, domain3d, run
 
 
 def load_basic(path: str):

@@ -95,6 +95,18 @@ class CGBoundaryConfig:
 
     inlet: str = "periodic"
     outlet: str = "periodic"
+    # phi Neumann repair at Dirichlet outlets (``calNeumannPhiOutlet``,
+    # ``AcceleratedRKGPU2D.py:1363-1380``): copy phi from row 2 onto the
+    # outlet rows 1 and 0 after the phase-field computation so the fixed
+    # outlet densities cannot manufacture a color gradient -> CSF force at
+    # the open boundary.  Launched unconditionally in the reference's
+    # coupled loop (``Transport2DRK.py:846``); in the pure CG loops it is
+    # gated on the misspelled literal ``'Dirilcht'``
+    # (``RKD2Q9.py:1149,1369``), so shipped INIs (which spell
+    # ``'Dirichlet'``) never fire it there — this rebuild applies the
+    # kernel's evident intent whenever the outlet is Dirichlet; set False
+    # to reproduce the reference's misspelling-gated behavior.
+    phi_outlet_repair: bool = True
     inlet_velocity: float = 0.0        # total v_y (Neumann)
     inlet_velocity_r: float = 0.0      # per-color v_y (neumann_per_color)
     inlet_velocity_b: float = 0.0
@@ -152,6 +164,8 @@ class ColorGradientRK:
         ny = geometry.ny
         self._row_masks = {r: jnp.asarray(geometry.is_fluid[r], bool)
                            for r in (0, 1, 2, ny - 1, ny - 2)}
+        self._phi_repair = (boundaries.outlet == "dirichlet"
+                            and boundaries.phi_outlet_repair)
         self._fused = self._build_fused(use_pallas)
         self._fused_c = self._build_fused(use_pallas, compressed=True)
         self._step = jax.jit(self._step_impl, donate_argnums=(0, 1))
@@ -176,7 +190,8 @@ class ColorGradientRK:
         return build_csf_fused_step(
             self.geo, self.p, self.dtype,
             state_mode="compressed" if compressed else "split",
-            interpret=(use_pallas == "interpret"))
+            interpret=(use_pallas == "interpret"),
+            phi_outlet_repair=self._phi_repair)
 
     def make_block_step(self, steps_per_call: int = 2,
                         rows_per_block: int | None = None,
@@ -283,10 +298,23 @@ class ColorGradientRK:
         rho_b = mac.density(f_b)
         return (rho_r, rho_b) + self.color_force_fields_from_rho(rho_r, rho_b)
 
+    def _repair_phi_rows(self, phi):
+        """phi Neumann repair at Dirichlet outlets (``calNeumannPhiOutlet``,
+        ``AcceleratedRKGPU2D.py:1363-1380``): phi[1] <- phi[2] and
+        phi[0] <- phi[2] on fluid cells, applied after the phase-field
+        computation and before the solid-phi extrapolation / gradient
+        (reference order: ``RKD2Q9.py:1148-1151,1368-1371``)."""
+        m = self._row_masks
+        src = phi[2]
+        phi = phi.at[1].set(jnp.where(m[1], src, phi[1]))
+        return phi.at[0].set(jnp.where(m[0], src, phi[0]))
+
     def color_force_fields_from_rho(self, rho_r, rho_b):
         """phi, wetted gradient, CSF force from the color densities alone
         (shared by the split and compressed state layouts)."""
         phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
+        if self._phi_repair:
+            phi = self._repair_phi_rows(phi)
         phi_ext = cg.solid_phi_extrapolate(phi, self.is_fluid) \
             if self.has_wetting else phi
         gx, gy = cg.color_gradient(phi_ext, self.lat)
@@ -414,6 +442,8 @@ class ColorGradientRK:
         rho_r, rho_b, rho = self.rho_fields_c(s)
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
+        if self._phi_repair:
+            phi = self._repair_phi_rows(phi)
         f_tot = s[:9]
         mx, my = mac.momentum(self.lat, f_tot)
         ux = mx / rho_safe
@@ -546,6 +576,8 @@ class ColorGradientRK:
         rho = rho_r + rho_b
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         phi = cg.phase_field(rho_r, rho_b) * self.fluid_mask
+        if self._phi_repair:
+            phi = self._repair_phi_rows(phi)
         mx, my = mac.momentum(self.lat, f_r + f_b)
         ux = mx / rho_safe
         uy = my / rho_safe

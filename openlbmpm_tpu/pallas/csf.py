@@ -155,7 +155,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                          interpret: bool = False,
                          band_wetting: bool = True,
                          storage: str = "f32",
-                         substep_unroll: int | None = None):
+                         substep_unroll: int | None = None,
+                         phi_outlet_repair: bool | None = None):
     """Build the fused step: ``(f_r, f_b) -> (f_r', f_b')``, or with
     `transport_params` the coupled step ``(f_r, f_b, g) -> (f_r', f_b',
     g')`` advancing phase-confined tracers alongside the flow (the fused
@@ -275,6 +276,20 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     if T > 1 and bc_config is None and not (
             inlet_kind == "periodic" and outlet_kind == "periodic"):
         raise ValueError("steps_per_call > 1 requires bc_config")
+    # phi Neumann repair at Dirichlet outlets (``calNeumannPhiOutlet``,
+    # /root/reference/RKCG2D/AcceleratedRKGPU2D.py:1363-1380; launched at
+    # RKD2Q9.py:1150,1370 and unconditionally at Transport2DRK.py:846):
+    # overwrite phi on outlet rows 0 and 1 with the row-2 value so the
+    # fixed outlet densities cannot manufacture a color gradient -> CSF
+    # force at the open boundary.  Runs between the phi computation and
+    # the solid-phi extrapolation / gradient, matching the reference
+    # order.  ``phi_outlet_repair=None`` derives the default from
+    # bc_config; the T=1 external-BC path passes the model's flag.
+    if phi_outlet_repair is None:
+        phi_repair = (outlet_kind == "dirichlet" and
+                      bool(getattr(bc_config, "phi_outlet_repair", True)))
+    else:
+        phi_repair = bool(phi_outlet_repair)
     inlet_velocity = float(getattr(bc_config, "inlet_velocity", 0.0))
     inlet_rho_r = float(getattr(bc_config, "inlet_density_r", 1.0))
     inlet_rho_b = float(getattr(bc_config, "inlet_density_b", 0.0))
@@ -624,8 +639,49 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             gy_new = norm * my_
         return gx_new, gy_new
 
+    def _phi_repair_rows(phi, rg, flb):
+        """calNeumannPhiOutlet (AcceleratedRKGPU2D.py:1363-1380): overwrite
+        phi on the Dirichlet-outlet rows 0 and 1 with the row-2 value, run
+        between the phi computation and the solid-phi extrapolation /
+        gradient (RKD2Q9.py:1148-1151,1368-1371; unconditional in the
+        coupled loop, Transport2DRK.py:844-847).  Global rows are
+        consecutive window rows, so the copies are +1/+2 window rolls of
+        the ORIGINAL phi masked to the outlet rows; sources stay in-window
+        (window wrap rows fall outside the validity region the halo
+        accounting already excludes).  phi is fl-masked, so a solid row-2
+        source copies zero (the reference indexes phiValue[-1] there — an
+        out-of-bounds quirk not reproduced; DEVIATIONS.md).
+
+        ``rg``: scalar global row offset (compiled sliced mode — the
+        repair runs on the two 16-row BC bands, which are the only window
+        positions where global rows 0-2 can land, and stitches through
+        the VMEM scratch plane; full-window rolls measured 4.7% of the
+        flagship step) or the (W, nx) global-row iota (full-window masked
+        rolls: interpret mode / small-R domains)."""
+        if not phi_repair or rg is None:
+            return phi
+        if getattr(rg, "ndim", 2) == 0:   # sliced + scratch stitch
+            segs = []
+            for lo, hi in (_seg1, _seg2):
+                ws = hi - lo
+                seg = phi[lo:hi]
+                fs = flb[lo:hi]
+                rows = _seg_rows(rg, lo, ws)
+                seg = jnp.where(jnp.logical_and(rows == 1, fs),
+                                _rolly(seg, 1, ws), seg)
+                seg = jnp.where(jnp.logical_and(rows == 0, fs),
+                                _rolly(seg, 2, ws), seg)
+                segs.append(seg)
+            return _cat_rows(phi, segs[0], segs[1])
+        wr = phi.shape[-2]
+        phi = jnp.where(jnp.logical_and(rg == 1, flb),
+                        _rolly(phi, 1, wr), phi)
+        return jnp.where(jnp.logical_and(rg == 0, flb),
+                         _rolly(phi, 2, wr), phi)
+
     # -- flow fields (phi, wetted gradient, CSF force) on the full window ---
-    def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv):
+    def _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv,
+                rows_g=None):
         rho_safe = jnp.where(rho > 0, rho, 1.0)
         rinv = 1.0 / rho_safe
         # guarded select, not a mask-multiply: with deferred solid masking
@@ -633,6 +689,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         # NaN*0 would leak NaN into the phi stencils
         phi = jnp.where(jnp.logical_and(fl > 0.5, rho != 0),
                         (rho_r - rho_b) * rinv, 0.0)
+        phi = _phi_repair_rows(phi, rows_g, fl > 0.5)
 
         if has_wetting and wet_banded:
             shb = functools.partial(_sh, nx=256, w=W)
@@ -935,7 +992,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return fr_post
 
     # -- one physics sub-step on the full window ---------------------------
-    def _substep(fr, fb, fl, wet, ns_x, ns_y, den_inv, us, final=True):
+    def _substep(fr, fb, fl, wet, ns_x, ns_y, den_inv, us, final=True,
+                 rows_g=None):
         """fr, fb: lists of 9 (W, nx) planes -> post-stream lists.
         ``us`` is the list of static upwind-solid masks per direction.
         ``final=False`` defers the output solid masking (see
@@ -944,7 +1002,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         rho_b = sum(fb)
         rho = rho_r + rho_b
         rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv = \
-            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv)
+            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv,
+                    rows_g=rows_g)
         ft = [fr[i] + fb[i] for i in range(9)]
         post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rinv, phi,
                                     gx, gy, fx, fy)
@@ -969,7 +1028,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     # -- compressed sub-step: (f_total list, rho_r) -> same -----------------
     def _substep_c(ft, rho_r, fl, wet, ns_x, ns_y, den_inv, us, final=True,
-                   usb_f=None):
+                   usb_f=None, rows_g=None):
         """``final=False`` (interior sub-steps of a temporal block) skips
         the 10 solid-mask multiplies on the outputs: solid-cell values are
         never read by fluid cells (streaming is upwind-solid guarded, phi
@@ -986,7 +1045,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             rho = sum(ft)
         rho_b = rho - rho_r
         rho_safe, rinv, phi, gx, gy, fx, fy, g2, g_rinv = \
-            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv)
+            _fields(rho_r, rho_b, rho, fl, wet, ns_x, ns_y, den_inv,
+                    rows_g=rows_g)
         post, _, _ = _collide_total(ft, rho_r, rho_b, rho, rinv, phi,
                                     gx, gy, fx, fy, ps=ps)
 
@@ -1052,7 +1112,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         else:
             grad_w = np.array([0.0] + [1.0] * 8)
 
-    def _substep_pert(fr, fb, fl, us, final=True):
+    def _substep_pert(fr, fb, fl, us, final=True, rows_g=None):
         rho_r = sum(fr)
         rho_b = sum(fb)
         rho = rho_r + rho_b
@@ -1061,6 +1121,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         flb = fl > 0.5
         phi = jnp.where(jnp.logical_and(flb, rho != 0),
                         (rho_r - rho_b) * rinv, 0.0)
+        phi = _phi_repair_rows(phi, rows_g, flb)
         ft_ = [fr[i] + fb[i] for i in range(9)]
         mx = ft_[1] - ft_[3] + ft_[5] - ft_[6] - ft_[7] + ft_[8]
         my = ft_[2] - ft_[4] + ft_[5] + ft_[6] - ft_[7] - ft_[8]
@@ -1148,7 +1209,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return out_r, out_b
 
     # -- compressed Perturbation sub-step ------------------------------------
-    def _substep_pert_c(ft, rho_r, fl, us, final=True):
+    def _substep_pert_c(ft, rho_r, fl, us, final=True, rows_g=None):
         """Per-color BGK collision is linear in the PDFs with a shared
         tau(phi), so the total-PDF update needs only (rho_r, rho_b):
         feq_tot_i = rho_r c_r_i + rho_b c_b_i + rho quad_i.
@@ -1163,6 +1224,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         flb = fl > 0.5
         phi = jnp.where(jnp.logical_and(flb, rho != 0),
                         (rho_r - rho_b) * rinv, 0.0)
+        phi = _phi_repair_rows(phi, rows_g, flb)
         mx = ft[1] - ft[3] + ft[5] - ft[6] - ft[7] + ft[8]
         my = ft[2] - ft[4] + ft[5] + ft[6] - ft[7] - ft[8]
         ux = mx * rinv
@@ -1385,7 +1447,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return g
 
     has_bcs = inlet_kind != "periodic" or outlet_kind != "periodic"
-    need_rows = T > 1 or has_bcs or has_transport
+    need_rows = T > 1 or has_bcs or has_transport or phi_repair
 
     # BC rows only ever appear in two 16-row bands of any window: the
     # window start is always ≡ -H (mod R), so global rows {0,1,2} and
@@ -1444,8 +1506,8 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                for i, f in enumerate(f_b)]
         return f_r, f_b
 
-    use_scratch = (not interpret) and ((bc_sliced and has_bcs)
-                                       or wet_banded or bb_banded)
+    use_scratch = (not interpret) and (
+        (bc_sliced and (has_bcs or phi_repair)) or wet_banded or bb_banded)
 
     def kernel(*refs):
         if use_scratch:
@@ -1531,12 +1593,18 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             g = [[gwin[t, i] for i in range(NQ)] for t in range(NT)]
         rows_g = None
         is_edge = None
+        phi_rg = None
         if need_rows:
             i0 = pl.program_id(0)
             r_iota = jax.lax.broadcasted_iota(jnp.int32, (W, nx), 0)
             off = row0_ref[0] if is_local else 0
             row0_g = off + i0 * R - H
             rows_g = (row0_g + r_iota) % ny
+            # phi repair routing: scalar offset selects the sliced
+            # scratch-stitch form inside _phi_repair_rows (value-level
+            # DUS in interpret mode, so CPU equivalence tests exercise
+            # the same two-segment slicing the TPU runs)
+            phi_rg = row0_g if bc_sliced else rows_g
             if interpret and has_bcs:
                 # interpret-only edge predicate: XLA-CPU execution of the
                 # unconditional BC select chains is pathologically slow
@@ -1570,11 +1638,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     ft, rho_r = _apply_bcs_window_c(ft, rho_r, fl, rows_g)
             if is_pert:
                 ft, rho_r = _substep_pert_c(ft, rho_r, fl, us,
-                                            final=final_static)
+                                            final=final_static,
+                                            rows_g=phi_rg)
             else:
                 ft, rho_r = _substep_c(ft, rho_r, fl, wet, ns_x, ns_y,
                                        den_inv, us, final=final_static,
-                                       usb_f=usb_f)
+                                       usb_f=usb_f, rows_g=phi_rg)
             if fm is not None:
                 ft = [f * fm for f in ft]
                 rho_r = rho_r * fm
@@ -1618,7 +1687,7 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     ft_ = [fr[i] + fb[i] for i in range(9)]
                 _, rinv_, _, gx_, gy_, fx_, fy_, _, _ = \
                     _fields(rho_r_, rho_b_, rho_, fl, wet, ns_x, ns_y,
-                            den_inv)
+                            den_inv, rows_g=phi_rg)
                 mx_ = ft_[1] - ft_[3] + ft_[5] - ft_[6] - ft_[7] + ft_[8]
                 my_ = ft_[2] - ft_[4] + ft_[5] + ft_[6] - ft_[7] - ft_[8]
                 ux_ = (mx_ + 0.5 * fx_) * rinv_
@@ -1648,10 +1717,12 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                     else:
                         fr, fb = _apply_bcs_window(fr, fb, fl, rows_g)
                 if is_pert:
-                    fr, fb = _substep_pert(fr, fb, fl, us, final=_final)
+                    fr, fb = _substep_pert(fr, fb, fl, us, final=_final,
+                                           rows_g=phi_rg)
                 else:
                     fr, fb = _substep(fr, fb, fl, wet, ns_x, ns_y,
-                                      den_inv, us, final=_final)
+                                      den_inv, us, final=_final,
+                                      rows_g=phi_rg)
         if compressed:
             out_s = outs[0]
             if bf16:

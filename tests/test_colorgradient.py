@@ -431,3 +431,76 @@ def test_convective_average_selectable_from_ini(tmp_path):
     params, bcs, domain, run = load_colorgradient(str(ini))
     assert bcs.inlet == "neumann_per_color"
     assert bcs.inlet_velocity_r == -1.0e-3
+
+
+def _phi_repair_models(on: bool):
+    """Channel with a Dirichlet outlet (rho_r=0 / rho_b=1) — the flagship
+    bench boundary — with the calNeumannPhiOutlet repair toggled."""
+    solid = np.zeros((32, 16), bool)
+    solid[:, 0] = solid[:, -1] = True
+    params = ColorGradientParams(
+        variant="CSF", collision="MRT", surface_tension=0.1,
+        tau_r=1.0, tau_b=1.0, tau_type=2, wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0, phi_outlet_repair=on)
+    return ColorGradientRK(geo.from_solid_mask(solid), params, bcs,
+                           dtype=jnp.float64)
+
+
+def test_phi_outlet_repair_kills_spurious_outlet_force():
+    """calNeumannPhiOutlet (AcceleratedRKGPU2D.py:1363-1380): when the red
+    front reaches the Dirichlet outlet, the fixed outlet densities
+    (rho_r=0, rho_b=1) manufacture a phi jump between rows 1 and 2 and
+    with it a spurious CSF force pinning the interface at the open
+    boundary; the repair copies phi from row 2 onto rows 1 and 0, so the
+    outlet-adjacent rows carry no interfacial force."""
+    m_on = _phi_repair_models(True)
+    m_off = _phi_repair_models(False)
+    ny, nx = m_on.geo.shape
+    # red has invaded everything above the outlet layers; the outlet rows
+    # hold the Dirichlet densities (pure blue), as the BC rewrite enforces
+    rho_r = np.zeros((ny, nx))
+    rho_b = np.zeros((ny, nx))
+    rho_r[2:] = 1.0
+    rho_b[:2] = 1.0
+    rho_r *= m_on.geo.is_fluid
+    rho_b *= m_on.geo.is_fluid
+    rho_r = jnp.asarray(rho_r)
+    rho_b = jnp.asarray(rho_b)
+
+    phi_off, _, _, fx_off, fy_off = \
+        m_off.color_force_fields_from_rho(rho_r, rho_b)
+    phi_on, _, _, fx_on, fy_on = \
+        m_on.color_force_fields_from_rho(rho_r, rho_b)
+
+    fmag_off = np.abs(np.asarray(fx_off)) + np.abs(np.asarray(fy_off))
+    fmag_on = np.abs(np.asarray(fx_on)) + np.abs(np.asarray(fy_on))
+    # without the repair the fake interface at rows 1-2 carries CSF force
+    assert fmag_off[:3].max() > 1e-4, fmag_off[:3].max()
+    # with it, phi is uniform over rows 0-2 -> no gradient, no force on
+    # the outlet-adjacent band
+    assert fmag_on[:2].max() < 1e-12, fmag_on[:2].max()
+    # and the repaired phi rows equal the third-row value
+    assert np.allclose(np.asarray(phi_on)[0], np.asarray(phi_on)[2])
+    assert np.allclose(np.asarray(phi_on)[1], np.asarray(phi_on)[2])
+    # the unrepaired phi keeps the manufactured jump
+    assert np.asarray(phi_off)[1].min() < -0.9
+
+
+def test_phi_outlet_repair_interface_leaves_domain():
+    """With the repair the invading front drains through the open
+    boundary instead of pinning: run a drainage channel until red reaches
+    the outlet band and compare red mass in the outlet rows."""
+    m_on = _phi_repair_models(True)
+    m_off = _phi_repair_models(False)
+    st_on = m_on.init_state_layers(1.0, 1.0, invading_rows=26)
+    st_off = m_off.init_state_layers(1.0, 1.0, invading_rows=26)
+    st_on = run_chunked(m_on.step, st_on, num_steps=400, io_interval=400)
+    st_off = run_chunked(m_off.step, st_off, num_steps=400, io_interval=400)
+    r_on = np.asarray(jnp.sum(st_on[0], axis=0))
+    r_off = np.asarray(jnp.sum(st_off[0], axis=0))
+    assert np.isfinite(r_on).all() and np.isfinite(r_off).all()
+    # the trajectories genuinely diverge near the outlet (the repair is
+    # not a no-op on the flagship BC combination)
+    assert np.abs(r_on[:4] - r_off[:4]).max() > 1e-6
