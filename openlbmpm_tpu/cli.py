@@ -374,6 +374,211 @@ def _run_colorgradient3d(args):
     return 0
 
 
+def _box3d(dom):
+    """3D box geometry: solid walls on the x and y faces, open z."""
+    from . import geometry as geo
+    solid = np.zeros((dom["nz"], dom["ny"], dom["nx"]), bool)
+    solid[:, :, 0] = solid[:, :, -1] = True
+    solid[:, 0, :] = solid[:, -1, :] = True
+    return geo.from_solid_mask(solid)
+
+
+def _run_shanchen3d(args):
+    """3D Shan-Chen MCMP run (D3Q19; the reference driver imports 3D SC
+    modules absent from its snapshot, ``main.py:15-22``)."""
+    import jax.numpy as jnp
+
+    from .checkpoint import (config_fingerprint, load_checkpoint,
+                             save_checkpoint)
+    from .config import load_shanchen3d
+    from .io import ResultWriter
+    from .metrics import MetricsLogger, flow_diagnostics
+    from .models.base import run_chunked
+    from .models.flow3d import ShanChenMCMP3D
+
+    params, dom, run, extras = load_shanchen3d(args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    geometry = _box3d(dom)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = ShanChenMCMP3D(geometry, params, dtype=dtype,
+                           use_pallas=not args.no_pallas)
+    state = model.init_state_droplet(extras["initial_densities"],
+                                     extras["background_densities"],
+                                     radius=extras["radius"])
+    fingerprint = config_fingerprint(params)
+    start_step = 0
+    ckpt_path = os.path.join(args.output, "checkpoint.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_step = load_checkpoint(ckpt_path, state, fingerprint)
+        print(f"resumed from step {start_step}")
+
+    step_fn = model.step
+    blk, step_scale = _pick_block(model, args, run.io_interval,
+                                  run.num_steps)
+    if blk is not None:
+        step_fn = blk
+    elif args.block > 1:
+        print("note: --block unsupported for this config; "
+              "running unblocked")
+
+    writer = ResultWriter(args.output, basename="SimulationResultsSC3D")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+    ckpt_every = max(1, 10 * run.io_interval)
+
+    def callback(step, f):
+        step = step * step_scale
+        rho_k, u = model.macro(f)
+        writer.write(start_step + step, {
+            f"FluidMacro/FluidDensity{k}in{start_step + step}":
+                np.asarray(rho_k[k]) for k in range(model.k)})
+        d = flow_diagnostics(
+            rho_k[0].reshape(rho_k.shape[1], -1),
+            rho_k[1].reshape(rho_k.shape[1], -1),
+            u[0].reshape(u[0].shape[0], -1),
+            u[2].reshape(u[2].shape[0], -1),
+            geometry.is_fluid.reshape(geometry.is_fluid.shape[0], -1))
+        logger.log(start_step + step, **d)
+        if step % ckpt_every == 0 or step >= run.num_steps:
+            save_checkpoint(ckpt_path, f, start_step + step, fingerprint)
+        return False
+
+    run_chunked(step_fn, state,
+                num_steps=max(1, run.num_steps // step_scale),
+                io_interval=max(1, run.io_interval // step_scale),
+                callback=callback, nan_guard=True,
+                profile_dir=args.profile)
+    logger.close()
+    return 0
+
+
+def _run_basic3d(args):
+    """3D single-phase run (D3Q19 SRT/TRT)."""
+    import jax.numpy as jnp
+
+    from .checkpoint import (config_fingerprint, load_checkpoint,
+                             save_checkpoint)
+    from .config import load_basic3d
+    from .io import ResultWriter
+    from .metrics import MetricsLogger
+    from .models.base import run_chunked
+    from .models.flow3d import SinglePhaseD3Q19
+
+    solver_kw, dom, run = load_basic3d(args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    geometry = _box3d(dom)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = SinglePhaseD3Q19(geometry, dtype=dtype,
+                             use_pallas=not args.no_pallas, **solver_kw)
+    state = model.init_state(1.0)
+    fingerprint = config_fingerprint(solver_kw)
+    start_step = 0
+    ckpt_path = os.path.join(args.output, "checkpoint.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        state, start_step = load_checkpoint(ckpt_path, state, fingerprint)
+        print(f"resumed from step {start_step}")
+
+    step_fn = model.step
+    blk, step_scale = _pick_block(model, args, run.io_interval,
+                                  run.num_steps)
+    if blk is not None:
+        step_fn = blk
+    elif args.block > 1:
+        print("note: --block unsupported for this config; "
+              "running unblocked")
+
+    writer = ResultWriter(args.output, basename="SimulationResults3D")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+    ckpt_every = max(1, 10 * run.io_interval)
+
+    def callback(step, f):
+        step = step * step_scale
+        rho, u = model.macro(f)
+        writer.write(start_step + step, {
+            f"FluidMacro/FluidDensityin{start_step + step}":
+                np.asarray(rho)})
+        logger.log(start_step + step, mass=float(jnp.sum(rho)),
+                   umax=float(jnp.max(jnp.sqrt(
+                       u[0] ** 2 + u[1] ** 2 + u[2] ** 2))))
+        if step % ckpt_every == 0 or step >= run.num_steps:
+            save_checkpoint(ckpt_path, f, start_step + step, fingerprint)
+        return False
+
+    run_chunked(step_fn, state,
+                num_steps=max(1, run.num_steps // step_scale),
+                io_interval=max(1, run.io_interval // step_scale),
+                callback=callback, nan_guard=True,
+                profile_dir=args.profile)
+    logger.close()
+    return 0
+
+
+def _run_transport3d(args):
+    """Coupled 3D flow + D3Q7 tracer transport (the reference promises
+    3D transport but ships none, ``main.py:72-81``).  The transport INI
+    rides in ``config``; the 3D flow INI in ``--physics-config`` (or the
+    same file)."""
+    import jax.numpy as jnp
+
+    from .config import load_colorgradient3d, load_transport
+    from .io import ResultWriter
+    from .metrics import MetricsLogger
+    from .models.base import run_chunked
+    from .models.flow3d import TransportRK3D
+
+    tparams = load_transport(args.config)
+    flow_params, dom, run, extras = load_colorgradient3d(
+        args.physics_config or args.config)
+    if args.steps:
+        run = dataclasses.replace(run, num_steps=args.steps)
+    geometry = _box3d(dom)
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    model = TransportRK3D(
+        geometry, flow_params, num_tracers=tparams.num_tracers,
+        tau=tparams.tau, j0=tparams.j0,
+        interface_mode=("bounceback"
+                        if tparams.beta_interface[0] == 0.0 else "none"),
+        boundaries=extras["bcs"], dtype=dtype)
+    flow_state = model.flow.init_state_layers(
+        extras["rho_r"], extras["rho_b"],
+        invading_slabs=max(8, dom["nz"] // 10))
+    nz, ny, nx = geometry.shape
+    conc0 = np.zeros((tparams.num_tracers, nz, ny, nx))
+    conc0[:, nz - max(8, nz // 10):] = 1.0
+    state = model.init_state(flow_state, conc0)
+
+    step_fn = model.step
+    layout = "split"
+    if not args.no_pallas and _on_tpu():
+        fused = model.make_fused_step()
+        if fused is not None:
+            state = (model.flow.pack_state(state[0], state[1]), state[2])
+            step_fn = lambda st: fused(*st)  # noqa: E731
+            layout = "packed"
+
+    writer = ResultWriter(args.output, basename="ConcentrationResults3D")
+    logger = MetricsLogger(os.path.join(args.output, "metrics.jsonl"),
+                           geometry.num_fluid_nodes, echo=True)
+
+    def callback(step, s):
+        g = s[2] if layout == "split" else s[1]
+        conc = model.concentration(g)
+        writer.write_transport(step, np.asarray(conc))
+        logger.log(step, **{f"tracer{i}_mass":
+                            float(np.asarray(conc[i]).sum())
+                            for i in range(conc.shape[0])})
+        return False
+
+    run_chunked(step_fn, state, num_steps=run.num_steps,
+                io_interval=run.io_interval, callback=callback,
+                profile_dir=args.profile)
+    logger.close()
+    return 0
+
+
 def _run_basic(args):
     """Single-phase D2Q9 channel run (the reference's BasicD2Q9 /
     basicsetup.ini surface, ``SimpleD2Q9.py:221-331``)."""
@@ -455,12 +660,16 @@ def _inspect(args):
     from .config import (load_basic, load_colorgradient,
                          load_colorgradient3d, load_shanchen,
                          load_transport)
+    from .config import load_basic3d, load_shanchen3d
     loaders = {"cg": lambda: load_colorgradient(args.config)[:2],
                "cg3d": lambda: (load_colorgradient3d(args.config)[0],),
                "sc": lambda: load_shanchen(args.config,
                                            args.physics_config)[:2],
+               "sc3d": lambda: (load_shanchen3d(args.config)[0],),
                "transport": lambda: (load_transport(args.config),),
-               "basic": lambda: (load_basic(args.config)[0],)}
+               "transport3d": lambda: (load_transport(args.config),),
+               "basic": lambda: (load_basic(args.config)[0],),
+               "basic3d": lambda: (load_basic3d(args.config)[0],)}
     out = loaders[args.model]()
     for obj in out:
         if dataclasses.is_dataclass(obj):
@@ -478,8 +687,9 @@ def main(argv=None) -> int:
 
     def common(sp):
         sp.add_argument("config", help="legacy-dialect INI file")
-        sp.add_argument("--model", choices=("cg", "cg3d", "sc", "transport",
-                                            "basic"),
+        sp.add_argument("--model", choices=("cg", "cg3d", "sc", "sc3d",
+                                            "transport", "transport3d",
+                                            "basic", "basic3d"),
                         default="cg", help="model family")
         sp.add_argument("--physics-config", default=None,
                         help="secondary INI (SC physics / transport flow)")
@@ -528,8 +738,9 @@ def main(argv=None) -> int:
         return _inspect(args)
     os.makedirs(args.output, exist_ok=True)
     return {"cg": _run_colorgradient, "cg3d": _run_colorgradient3d,
-            "sc": _run_shanchen, "transport": _run_transport,
-            "basic": _run_basic}[args.model](args)
+            "sc": _run_shanchen, "sc3d": _run_shanchen3d,
+            "transport": _run_transport, "transport3d": _run_transport3d,
+            "basic": _run_basic, "basic3d": _run_basic3d}[args.model](args)
 
 
 if __name__ == "__main__":

@@ -759,9 +759,10 @@ class TransportRK3D:
     def __init__(self, geometry: Geometry, flow_params: ColorGradientParams3D,
                  num_tracers: int = 1, tau=(1.0,), j0=(0.25,),
                  criteria: float = 0.5, interface_mode: str = "bounceback",
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, boundaries=None):
+        flow_kw = {} if boundaries is None else {"boundaries": boundaries}
         self.flow = ColorGradientRK3D(geometry, flow_params, dtype=dtype,
-                                      use_pallas=False)
+                                      use_pallas=False, **flow_kw)
         self.transport = TransportD3Q7(geometry, num_tracers, tau, j0,
                                        criteria, interface_mode, dtype)
         self.geo = geometry

@@ -296,3 +296,84 @@ def test_cli_run_basic_with_resume(tmp_path):
     rc2 = cli_main(["run", cfg, "--model", "basic", "--output", out,
                     "--no-pallas", "--resume", "--steps", "10"])
     assert rc2 == 0
+
+
+def test_cli_run_sc3d_small(tmp_path):
+    """3D Shan-Chen CLI route (--model sc3d): tiny D3Q19 MCMP droplet run
+    writes results, metrics, checkpoint."""
+    cfg = str(tmp_path / "sc3d.ini")
+    txt = open(os.path.join(CONFIGS, "shanchen3d.ini")).read()
+    txt = txt.replace("xDomain = 32", "xDomain = 12")
+    txt = txt.replace("yDomain = 32", "yDomain = 12")
+    txt = txt.replace("zDomain = 64", "zDomain = 16")
+    txt = txt.replace("numberTimeStep = 1000", "numberTimeStep = 10")
+    txt = txt.replace("TimeInterval = 500", "TimeInterval = 5")
+    txt = txt.replace("DropletRadius = 8.0", "DropletRadius = 4.0")
+    open(cfg, "w").write(txt)
+    out = str(tmp_path / "out")
+    rc = cli_main(["run", cfg, "--model", "sc3d", "--output", out,
+                   "--no-pallas"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "checkpoint.npz"))
+    recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(r["step"] >= 10 for r in recs)
+    assert all(np.isfinite(r["mass_invading"]) for r in recs)
+
+
+def test_cli_run_basic3d_with_resume(tmp_path):
+    """3D single-phase CLI route (--model basic3d): body-force channel
+    runs, logs, checkpoints, resumes."""
+    cfg = str(tmp_path / "basic3d.ini")
+    txt = open(os.path.join(CONFIGS, "basic3d.ini")).read()
+    txt = txt.replace("nx = 32", "nx = 12")
+    txt = txt.replace("ny = 32", "ny = 12")
+    txt = txt.replace("nz = 64", "nz = 16")
+    txt = txt.replace("TimeLength = 1000", "TimeLength = 10")
+    txt = txt.replace("TimeInterval = 500", "TimeInterval = 5")
+    open(cfg, "w").write(txt)
+    out = str(tmp_path / "out")
+    rc = cli_main(["run", cfg, "--model", "basic3d", "--output", out,
+                   "--no-pallas"])
+    assert rc == 0
+    recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(r["step"] >= 10 for r in recs)
+    rc2 = cli_main(["run", cfg, "--model", "basic3d", "--output", out,
+                    "--no-pallas", "--resume", "--steps", "5"])
+    assert rc2 == 0
+
+
+def test_cli_run_transport3d_small(tmp_path):
+    """Coupled 3D flow + tracer CLI route (--model transport3d): the
+    transport INI rides in config, the 3D flow INI in --physics-config."""
+    tcfg = str(tmp_path / "tr.ini")
+    txt = open(os.path.join(CONFIGS, "transportsetup.ini")).read()
+    # the 3D tracer BC surface is 'none' (SURVEY: the reference ships no
+    # 3D transport); strip the 2D-only inlet selection
+    txt = txt.replace("InletType = 'Inamuro'", "InletType = 'none'")
+    open(tcfg, "w").write(txt)
+    fcfg = str(tmp_path / "flow3d.ini")
+    txt = open(os.path.join(CONFIGS, "rk_csf3d.ini")).read()
+    txt = txt.replace("xDomain = 32", "xDomain = 12")
+    txt = txt.replace("yDomain = 32", "yDomain = 12")
+    txt = txt.replace("zDomain = 96", "zDomain = 16")
+    txt = txt.replace("TimeSteps = 1000", "TimeSteps = 10")
+    txt = txt.replace("TimeInterval = 500", "TimeInterval = 5")
+    open(fcfg, "w").write(txt)
+    out = str(tmp_path / "out")
+    rc = cli_main(["run", tcfg, "--model", "transport3d",
+                   "--physics-config", fcfg, "--output", out,
+                   "--no-pallas"])
+    assert rc == 0
+    recs = [json.loads(x) for x in open(os.path.join(out, "metrics.jsonl"))]
+    assert recs and all(np.isfinite(r["tracer0_mass"]) for r in recs)
+
+
+def test_cli_inspect_new_models(tmp_path, capsys):
+    for model, cfg in (("sc3d", "shanchen3d.ini"),
+                       ("basic3d", "basic3d.ini"),
+                       ("transport3d", "transportsetup.ini")):
+        rc = cli_main(["inspect", os.path.join(CONFIGS, cfg),
+                       "--model", model])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.strip().startswith("{")
