@@ -74,18 +74,34 @@ def bench_single_phase(quick):
             "max_u": round(float(jnp.max(jnp.abs(uy))), 6)}
 
 
-def bench_sc_droplet(quick):
-    """Config 2: original Shan-Chen two-phase droplet / contact angle."""
-    import jax.numpy as jnp
+def _sc_model(n, dtype):
+    import jax.numpy as jnp  # noqa: F401
 
     from openlbmpm_tpu import geometry as geo
     from openlbmpm_tpu.models.shanchen import ShanChenMCMP, ShanChenParams
-    n = 1024
     solid = np.zeros((n, n), bool)
     solid[:2, :] = True
     p = ShanChenParams(g_matrix=((0.0, 3.8), (3.8, 0.0)),
                        g_solid=(-0.4, 0.4), tau=(1.0, 1.0))
-    m = ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=jnp.float32)
+    return ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=dtype), p
+
+
+def bench_sc_droplet(quick):
+    """Config 2: original Shan-Chen two-phase droplet / contact angle.
+
+    Throughput at 1024^2 (600 steps), then the physics ASSERTION on an
+    equilibrated 256^2 droplet: the measured spherical-cap angle must
+    match the Huang 2007 analytic prediction
+    (``metrics.analytic_sc_contact_angle``) within 12 degrees AND be
+    equilibrated (< 2 deg drift over the last 5000 steps) — a 600-step
+    angle is meaningless and drifted 76/62.5/48.2 deg across earlier
+    rounds."""
+    import jax.numpy as jnp
+
+    from openlbmpm_tpu.metrics import (analytic_sc_contact_angle,
+                                       measured_contact_angle)
+    n = 1024
+    m, p = _sc_model(n, jnp.float32)
     f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02),
                              center=(2.0, n / 2), radius=100.0)
     blk = m.make_block_step(steps_per_call=4)
@@ -94,14 +110,48 @@ def bench_sc_droplet(quick):
     mlups, (f,) = _throughput(lambda s: step(s), (f,),
                               (200 if quick else 600) // t_block,
                               n * n * t_block, unpack=True)
-    rho_k, _ = m.macro(f)
-    from openlbmpm_tpu.metrics import measured_contact_angle
-    drop = np.asarray(rho_k[0]) > 0.5
-    theta = measured_contact_angle(drop, wall_row=2)
+
+    # equilibrated contact-angle validation (small domain, long run)
+    n2 = 256
+    m2, _ = _sc_model(n2, jnp.float32)
+    f2 = m2.init_state_droplet((1.0, 1.0), (0.02, 0.02),
+                               center=(2.0, n2 / 2), radius=50.0)
+    blk2 = m2.make_block_step(steps_per_call=4)
+    step2 = blk2 if blk2 is not None else m2._step_impl
+    tb2 = 4 if blk2 is not None else 1
+    n_equil = 4000 if quick else 15000
+    import jax
+
+    def loop(k, s):
+        return jax.lax.fori_loop(0, k, lambda _, x: step2(x), s)
+
+    run = jax.jit(loop, static_argnums=0, donate_argnums=1)
+    f2 = run(n_equil // tb2, f2)
+
+    def angle(ff):
+        rho_k, _ = m2.macro(ff)
+        drop = np.asarray(rho_k[0]) > 0.5
+        return measured_contact_angle(drop, wall_row=2), rho_k
+
+    theta_a, _ = angle(f2)
+    f2 = run(5000 // tb2, f2)
+    theta, rho_k = angle(f2)
+    rho0 = np.asarray(rho_k[0])
+    drop = rho0 > 0.5
+    rho_main = float(rho0[drop].mean())
+    rho_diss = float(rho0[~drop & np.asarray(m2.geo.is_fluid)].mean())
+    theta_pred = analytic_sc_contact_angle(-0.4, 0.4, 3.8, rho_main,
+                                           rho_diss)
+    assert abs(theta - theta_a) < 2.0, \
+        f"angle not equilibrated: {theta_a:.1f} -> {theta:.1f}"
+    assert abs(theta - theta_pred) < 12.0, \
+        f"angle {theta:.1f} vs analytic {theta_pred:.1f}"
     return {"config": "2 Shan-Chen droplet contact angle 1024^2",
             "value": round(mlups, 1), "unit": "MLUPS",
             "t_block": t_block,
-            "contact_angle_deg": round(theta, 1)}
+            "contact_angle_deg": round(theta, 1),
+            "contact_angle_analytic_deg": round(theta_pred, 1),
+            "angle_check": "PASS (equilibrated 256^2, tol 12 deg)"}
 
 
 def bench_efs_mrt(quick):
@@ -117,17 +167,32 @@ def bench_efs_mrt(quick):
     m = ShanChenMCMP(geo.from_solid_mask(np.zeros((n, n), bool)), p,
                      dtype=jnp.float32)
     f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=120.0)
+    import jax.numpy as _j
+    m0 = np.asarray(_j.sum(f, axis=(1, 2, 3)), np.float64)
     blk = m.make_block_step(steps_per_call=2)
     t_block = 2 if blk is not None else 1
     step = blk if blk is not None else m._step_impl
     mlups, (f,) = _throughput(lambda s: step(s), (f,),
                               (200 if quick else 600) // t_block,
                               n * n * t_block, unpack=True)
-    rho_k, _ = m.macro(f)
+    rho_k, (ux, uy) = m.macro(f)
+    # physics assertions: per-fluid mass exactly conserved (periodic, no
+    # open boundaries; f32 summation noise only), phases still separated,
+    # spurious currents bounded
+    m1 = np.asarray(_j.sum(f, axis=(1, 2, 3)), np.float64)
+    mass_drift = float(np.abs(m1 / m0 - 1.0).max())
+    assert mass_drift < 2e-5, f"per-fluid mass drift {mass_drift:.2e}"
+    r0 = np.asarray(rho_k[0])
+    assert r0.max() > 0.9 and float(np.asarray(rho_k[1]).max()) > 0.9, \
+        "phases collapsed"
+    umax = float(np.max(np.sqrt(np.asarray(ux) ** 2 + np.asarray(uy) ** 2)))
+    assert umax < 0.05, f"spurious currents {umax:.3f}"
     return {"config": "3 EFS iso-8 MRT viscosity contrast 1024^2",
             "value": round(mlups, 1), "unit": "MLUPS",
             "t_block": t_block,
-            "finite": bool(np.isfinite(np.asarray(rho_k)).all())}
+            "mass_drift_rel": float(f"{mass_drift:.2e}"),
+            "umax": round(umax, 5),
+            "mass_check": "PASS (tol 2e-5)"}
 
 
 def bench_csf_transport(quick):
@@ -154,6 +219,7 @@ def bench_csf_transport(quick):
     conc0 = np.zeros((1, n, n))
     conc0[0, n - 120:, :] = 1.0
     st = m.init_state(fs, conc0)
+    mass0 = float(conc0.sum())
     blk = m.make_block_step(steps_per_call=2, rows_per_block=128,
                             compressed=True)
     t_block = 2 if blk is not None else 1
@@ -164,15 +230,24 @@ def bench_csf_transport(quick):
                                    (100 if quick else 400) // t_block,
                                    n * n * t_block, unpack=True)
         conc = np.asarray(jnp.sum(state[1], axis=1))
+        flow_s = np.asarray(state[0])
     else:
         mlups, (st,) = _throughput(lambda s: m._step_impl(s), (st,),
                                    100 if quick else 400, n * n,
                                    unpack=True)
         conc = np.asarray(m.concentration(st.g))
+        flow_s = np.asarray(st.f_r)
+    # physics assertions: tracer mass conserved (no tracer inlet, no
+    # reaction; throughput run = 3x400 + warmup steps), flow state finite
+    mass_drift = abs(float(conc.sum()) / mass0 - 1.0)
+    assert mass_drift < 2e-5, f"tracer mass drift {mass_drift:.2e}"
+    assert np.isfinite(flow_s).all(), "flow state not finite"
+    assert conc.min() > -1e-4, f"negative concentration {conc.min():.1e}"
     return {"config": "4 CSF two-phase + transport 1024^2",
             "value": round(mlups, 1), "unit": "MLUPS (flow+transport)",
             "t_block": t_block,
-            "tracer_mass": round(float(conc.sum()), 2)}
+            "tracer_mass_drift_rel": float(f"{mass_drift:.2e}"),
+            "tracer_mass_check": "PASS (tol 2e-5)"}
 
 
 def bench_cg3d_pore(quick):
@@ -187,14 +262,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
+    failed = 0
     for fn in (bench_single_phase, bench_sc_droplet, bench_efs_mrt,
                bench_csf_transport, bench_cg3d_pore):
         try:
             rec = fn(args.quick)
-        except Exception as ex:  # keep the harness going
-            rec = {"config": fn.__name__, "error": str(ex)[:200]}
+        except Exception as ex:  # keep the harness going, fail at exit
+            rec = {"config": fn.__name__, "error": str(ex)[:300]}
+            failed += 1
         print(json.dumps(rec), flush=True)
+    if failed:
+        print(f"# {failed} config(s) FAILED physics assertions",
+              flush=True)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -119,6 +119,39 @@ def run_bench(n=128, t_block=1, rows=8, storage="f32", tile_y=None,
         dt = min(dt, time.perf_counter() - t0)
     mlups = n ** 3 * n_steps / dt / 1e6
     finite = bool(jnp.isfinite(s).all())
+
+    # physics assertions (VERDICT r4: "config 5 asserts porosity and
+    # invading-phase advance, not finite").  Porosity sanity bounds catch
+    # a broken image->geometry pipeline; then a longer drainage phase
+    # checks the invading (red) front actually advances through the pore
+    # space at roughly the injection speed.
+    porosity = float(g.porosity)
+    assert 0.2 < porosity < 0.9, f"porosity {porosity:.3f} out of band"
+
+    def _front(state):
+        if storage == "bf16":
+            rho_r = np.asarray(state[19], np.float32) + \
+                np.asarray(state[20], np.float32)
+        else:
+            rho_r = np.asarray(state[19])
+        occ = (rho_r > 0.5).any(axis=(1, 2))
+        idx = np.where(occ)[0]
+        return int(idx.min()) if idx.size else rho_r.shape[0]
+
+    front0 = _front(s)
+    physics_steps = 4000
+    s = run(physics_steps // t_block, s, geo_arg)
+    _sync(s)
+    front1 = _front(s)
+    advance = front0 - front1
+    # mean front speed = injection velocity (2e-3); pore throats locally
+    # faster, trapped regions slower — require at least 40% of ballistic
+    expected = 2e-3 * physics_steps
+    assert advance >= 0.4 * expected, \
+        f"front advanced {advance} slabs in {physics_steps} steps " \
+        f"(expected ~{expected:.0f})"
+    assert bool(jnp.isfinite(
+        jnp.sum(s.astype(jnp.float32)))), "state not finite"
     return {
         "config": f"5 D3Q19 CSF drainage, imaged pore structure {n}^3",
         "metric": f"T={t_block}, R={rows}"
@@ -128,7 +161,10 @@ def run_bench(n=128, t_block=1, rows=8, storage="f32", tile_y=None,
         "value": round(mlups, 1),
         "unit": "MLUPS",
         "finite": finite,
-        "porosity": round(float(g.porosity), 3),
+        "porosity": round(porosity, 3),
+        "front_advance_slabs": advance,
+        "front_check": f"PASS (>= 0.4 x {expected:.0f} in "
+                       f"{physics_steps} steps)",
     }
 
 
