@@ -163,11 +163,24 @@ def _err(a, ref):
             "mean": float(rel.mean())}
 
 
+def _force_cpu_if_requested():
+    """The ambient axon sitecustomize registers the TPU plugin at
+    interpreter start, so JAX_PLATFORMS=cpu alone is NOT enough (see
+    tests/conftest.py); f64 paths must run on CPU."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def part_density(paths, anchor_file):
     """Density-error table at the bench config."""
     import jax
     recs = {}
     if "f64" in paths:
+        if jax.devices()[0].platform != "cpu":
+            raise SystemExit(
+                "f64 anchor must run on CPU: JAX_PLATFORMS=cpu python "
+                "benchmarks/bench_accuracy.py --part density --paths f64")
         jax.config.update("jax_enable_x64", True)
         import jax.numpy as jnp
         m64 = _bench_model(jnp.float64)
@@ -247,6 +260,8 @@ def part_breakthrough(paths, check_every=200):
     t_block = 4
 
     if "f64" in paths:
+        if jax.devices()[0].platform != "cpu":
+            raise SystemExit("f64 paths must run with JAX_PLATFORMS=cpu")
         jax.config.update("jax_enable_x64", True)
         m = _drainage_model(jnp.float64, 128, 128, v_in)
         st = m.init_state_layers(1.0, 1.0, invading_rows=16)
@@ -297,6 +312,7 @@ def main():
     ap.add_argument("--anchor", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "anchor_f64.npz"))
     args = ap.parse_args()
+    _force_cpu_if_requested()
     paths = [p.strip() for p in args.paths.split(",") if p.strip()]
     if args.part in ("density", "all"):
         part_density(paths, args.anchor)
