@@ -1941,8 +1941,6 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
     ny_loc = ny // n_sh
     nx_loc = nx // n_sx
     has_tr = transport_params is not None
-    if has_tr and n_sx > 1:
-        return None  # coupled sharding: y-decomposition only
     T = int(steps_per_call)
     tr_mode = None
     if has_tr:
@@ -1975,10 +1973,11 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
         def xpad(x):
             # global x periodicity comes from the ring permute (shard 0's
             # left halo is shard n_sx-1's right edge), matching the
-            # full-width kernel's circular lane rolls
-            left = lax.ppermute(x[:, :, -Hx:], "x", xfwd)
-            right = lax.ppermute(x[:, :, :Hx], "x", xbwd)
-            return jnp.concatenate([left, x, right], axis=2)
+            # full-width kernel's circular lane rolls; lanes are the last
+            # axis for the 3-D flow/geo stacks and the 4-D tracer PDFs
+            left = lax.ppermute(x[..., -Hx:], "x", xfwd)
+            right = lax.ppermute(x[..., :Hx], "x", xbwd)
+            return jnp.concatenate([left, x, right], axis=-1)
 
         def halo(x):
             # rows are axis -2 for both the 3-D flow/geo stacks and the
@@ -1996,17 +1995,24 @@ def build_csf_sharded_step(geometry: Geometry, params, mesh,
         gup, gdn = halo(geo_loc)
         if has_tr:
             (g_loc,) = tr
+            if n_sx > 1:
+                g_loc = xpad(g_loc)
             g_up, g_dn = halo(g_loc)
-            return local(s_loc, up, dn, geo_loc, gup, gdn,
-                         g_loc, g_up, g_dn, row0)
+            out_s, out_g = local(s_loc, up, dn, geo_loc, gup, gdn,
+                                 g_loc, g_up, g_dn, row0)
+            if n_sx > 1:
+                out_s = out_s[..., Hx:Hx + nx_loc]
+                out_g = out_g[..., Hx:Hx + nx_loc]
+            return out_s, out_g
         out = local(s_loc, up, dn, geo_loc, gup, gdn, row0)
         if n_sx > 1:
-            out = out[:, :, Hx:Hx + nx_loc]
+            out = out[..., Hx:Hx + nx_loc]
         return out
 
     # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no vma
     if has_tr:
-        tr_spec = P(None, None, "y", None)
+        tr_spec = P(None, None, "y", "x") if n_sx > 1 \
+            else P(None, None, "y", None)
         sharded = shard_map(_local_step, mesh=mesh,
                             in_specs=(spec, spec, tr_spec),
                             out_specs=(spec, tr_spec), check_vma=False)

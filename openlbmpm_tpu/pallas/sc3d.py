@@ -205,13 +205,24 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
 
     # one sub-step: inputs valid on a window range of length n; outputs on
     # n-4 (offset +2).  `gcut(ch, k)` slices geometry channel ch by the
-    # absolute offset k; `solid_sh(i)` is the direction-i upwind-solid
-    # mask at offset 2.
-    def _substep(f, gcut, solid_sh):
-        rho = [sum(f[k]) for k in range(K)]
+    # absolute offset k; `sm[i]` is the direction-i upwind-solid mask at
+    # offset 2, hoisted out of the fluid loop (one rollxy+compare per
+    # direction instead of K).
+    #
+    # Deferred solid masking (r5, as the 2D kernels): interior sub-steps
+    # of a temporal block skip the 19*K output masks; psi/rho is a
+    # fluid-guarded SELECT so solid garbage (which can reach inf through
+    # the guarded-divide chain) cannot leak into the interaction stencil,
+    # and the final sub-step masks outputs with a select (not a multiply
+    # — inf*0 = NaN would stick at solid cells).
+    def _substep(f, gcut, sm, final=True, masked_in=True):
+        fl0 = gcut(0, 0)
+        if masked_in:
+            rho = [sum(f[k]) for k in range(K)]
+        else:
+            rho = [jnp.where(fl0 > 0.5, sum(f[k]), 0.0) for k in range(K)]
         # separable interaction stencil of psi = rho: offset 1
         v = [_grad3d(rho[k]) for k in range(K)]
-        fl1 = gcut(0, 1)
         rho1 = [_zcut(rho[k], 1) for k in range(K)]
         force = []  # [K][3] at offset 1
         for k in range(K):
@@ -231,7 +242,10 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 fk.append(c)
             force.append(fk)
 
-        # common velocity u' = Σ_k m_k/τ_k / Σ_k ρ_k/τ_k at offset 1
+        # common velocity u' = Σ_k m_k/τ_k / Σ_k ρ_k/τ_k at offset 1;
+        # momenta as opposite-pair differences (21 VPU ops per fluid
+        # instead of 30): e7=x+y, e9=x-y, e11=x+z, e13=x-z, e15=y+z,
+        # e17=y-z (lattice.py D3Q19 ordering)
         den = None
         for k in range(K):
             t = rho1[k] * (1.0 / tau[k])
@@ -239,38 +253,40 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         den = jnp.where(den != 0, den, 1.0)
         num = [None, None, None]
         for k in range(K):
-            mom = [None, None, None]
-            for i in range(1, Q):
-                fki = _zcut(f[k][i], 1)
-                for d in range(3):
-                    ed = float(e[i, d])
-                    if ed:
-                        t = fki if ed == 1.0 else -fki
-                        mom[d] = t if mom[d] is None else mom[d] + t
+            dp = {}
+            for i, io in _PAIRS3:
+                dp[i] = _zcut(f[k][i], 1) - _zcut(f[k][io], 1)
+            mom = (dp[1] + ((dp[7] + dp[9]) + (dp[11] + dp[13])),
+                   dp[3] + ((dp[7] - dp[9]) + (dp[15] + dp[17])),
+                   dp[5] + ((dp[11] - dp[13]) + (dp[15] - dp[17])))
             for d in range(3):
                 t = mom[d] * (1.0 / tau[k])
                 num[d] = t if num[d] is None else num[d] + t
         up = [num[d] / den for d in range(3)]
 
         out = [[None] * Q for _ in range(K)]
-        fl2 = gcut(0, 2)
+        fl2b = gcut(0, 2) > 0.5
         for k in range(K):
             rs = jnp.where(rho1[k] > 0, rho1[k], 1.0)
             ueq = tuple(up[d] + tau[k] * force[k][d] / rs
                         for d in range(3))
-            feq = _feq19(rho1[k], ueq)
             inv_t = 1.0 / tau[k]
+            # feq is linear in rho, so feeding rho/tau yields feq/tau
+            # directly: post = (1 - 1/tau) f + feq/tau (one madd per
+            # plane, no 19 inv_t multiplies)
+            feq_s = _feq19(rho1[k] * inv_t, ueq)
+            c1 = 1.0 - inv_t
             post = [None] * Q
             for i in range(Q):
-                fki = _zcut(f[k][i], 1)
-                post[i] = fki - (fki - feq[i]) * inv_t
-            out[k][0] = _zcut(post[0], 1) * fl2
+                post[i] = c1 * _zcut(f[k][i], 1) + feq_s[i]
+            o0 = _zcut(post[0], 1)
+            out[k][0] = jnp.where(fl2b, o0, 0.0) if final else o0
             for i in range(1, Q):
                 io = int(opp[i])
                 dx, dy, dz = int(e[i, 0]), int(e[i, 1]), int(e[i, 2])
                 pulled = _rollxy(_zsh(post[i], -dz, 1), -dx, -dy, nx, ny)
-                out[k][i] = jnp.where(solid_sh(i), _zcut(post[io], 1),
-                                      pulled) * fl2
+                oi = jnp.where(sm[i], _zcut(post[io], 1), pulled)
+                out[k][i] = jnp.where(fl2b, oi, 0.0) if final else oi
         return out
 
     def kernel(*refs):
@@ -317,7 +333,9 @@ def build_sc3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 return _rollxy(_zsh(_zcut(solid, _b + 1), -dz, 1),
                                -dx, -dy, nx, ny) > 0.5
 
-            f = _substep(f, gcut_s, solid_sh_s)
+            sm = [None] + [solid_sh_s(i) for i in range(1, Q)]
+            f = _substep(f, gcut_s, sm, final=(t == T - 1),
+                         masked_in=(t == 0))
         o0 = H - 2 * T
         for k in range(K):
             if bf16:

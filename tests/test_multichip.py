@@ -551,3 +551,53 @@ def test_coupled3d_fused_sharded_equals_single():
         b, gb = jax.jit(sharded)(b, gb)
     assert float(jnp.max(jnp.abs(a - b))) < 3e-5
     assert float(jnp.max(jnp.abs(ga - gb))) < 3e-5
+
+
+def test_coupled_fused_sharded_2d_mesh_equals_single():
+    """Coupled flow+transport under a TRUE 2-D (2, 2) (y, x) mesh: the
+    tracer PDFs ride the same x ring permute (halo lanes) as the flow
+    state, then the y halo rows of the x-padded arrays carry the corner
+    data.  Must match the single-device compressed coupled kernel
+    (VERDICT r4 item 8)."""
+    from openlbmpm_tpu.models.transport import (TransportParams,
+                                                TransportRK)
+    from openlbmpm_tpu.parallel.mesh import make_mesh
+    from openlbmpm_tpu.pallas.csf import (build_csf_fused_step,
+                                          build_csf_sharded_step)
+    ny, nx = 64, 64
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT",
+                             surface_tension=0.01, tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-3, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    tp = TransportParams(num_tracers=2, scheme=5, tau=(1.0, 0.8),
+                         j0=(0.25, 0.25), beta_interface=(0.2, 0.0),
+                         interface_mode="bounceback")
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float32, use_pallas=False)
+    single = build_csf_fused_step(
+        m.geo, fp, jnp.float32, rows_per_block=16, steps_per_call=1,
+        bc_config=bcs, transport_params=tp, state_mode="compressed",
+        interpret=True)
+    assert single is not None
+    mesh = make_mesh(shape=(2, 2))
+    sharded = build_csf_sharded_step(
+        m.geo, fp, mesh, jnp.float32, rows_per_block=8, steps_per_call=1,
+        bc_config=bcs, transport_params=tp, interpret=True)
+    assert sharded is not None
+    flow0 = m.flow.init_state_layers(1.0, 1.0, invading_rows=12)
+    conc0 = np.zeros((2, ny, nx))
+    conc0[:, ny // 2:] = 1.0
+    st = m.init_state(flow0, conc0)
+    s = m.flow.pack_state(st.f_r, st.f_b)
+    g = st.g
+    a, ga = s, g
+    b, gb = s, g
+    for _ in range(3):
+        a, ga = single(a, ga)
+        b, gb = jax.jit(sharded)(b, gb)
+    assert float(jnp.max(jnp.abs(a - b))) < 3e-5
+    assert float(jnp.max(jnp.abs(ga - gb))) < 3e-5
