@@ -159,8 +159,12 @@ def _run_jnp(model, n_steps, chunk=100):
 def _err(a, ref):
     rel = np.abs(a - ref) / np.maximum(np.abs(ref), 1e-30)
     rel = rel[np.isfinite(rel)]
-    return {"max": float(rel.max()), "p999": float(np.percentile(rel, 99.9)),
-            "mean": float(rel.mean())}
+    return {"max": float(rel.max()),
+            "p999": float(np.percentile(rel, 99.9)),
+            "p99": float(np.percentile(rel, 99.0)),
+            "p50": float(np.percentile(rel, 50.0)),
+            "mean": float(rel.mean()),
+            "frac_le_1e-6": float((rel <= 1e-6).mean())}
 
 
 def _force_cpu_if_requested():
@@ -192,10 +196,15 @@ def part_density(paths, anchor_file):
     if "f32" in paths or "bf16" in paths:
         import jax.numpy as jnp
         m32 = _bench_model(jnp.float32)
+        base = os.path.dirname(os.path.abspath(__file__))
         if "f32" in paths:
             recs["f32"] = _run_fused(m32, "f32", N_STEPS)
+            np.savez(os.path.join(base, "rho_f32.npz"),
+                     rho=recs["f32"][0], rho_r=recs["f32"][1])
         if "bf16" in paths:
             recs["bf16"] = _run_fused(m32, "bf16", N_STEPS)
+            np.savez(os.path.join(base, "rho_bf16.npz"),
+                     rho=recs["bf16"][0], rho_r=recs["bf16"][1])
     if "f64" not in recs and os.path.exists(anchor_file):
         with np.load(anchor_file) as z:
             recs["f64"] = (z["rho"], z["rho_r"])
@@ -272,6 +281,27 @@ def part_breakthrough(paths, check_every=200):
                           "steps": steps}), flush=True)
     for name in paths:
         if name == "f64":
+            continue
+        if name == "f32_128":
+            # same case as the f64 CPU anchor (128^2, invading_rows=16)
+            # through the fused f32 kernel: the direct f32-vs-f64
+            # breakthrough comparison
+            m = _drainage_model(jnp.float32, 128, 128, v_in)
+            f_r, f_b = m.init_state_layers(1.0, 1.0, invading_rows=16)
+            block = m.make_block_step(steps_per_call=t_block,
+                                      rows_per_block=32, compressed=True,
+                                      storage="f32")
+            if block is None:
+                out[name] = "fused kernel unavailable"
+                continue
+            s = m.pack_state(f_r, f_b)
+            steps, front = _steps_to_breakthrough(
+                block, (s,), m, "c", max_steps // t_block,
+                max(1, check_every // t_block))
+            steps *= t_block
+            out[name] = steps
+            print(json.dumps({"part": "breakthrough", "path": name,
+                              "steps": steps}), flush=True)
             continue
         m = _drainage_model(jnp.float32, ny, nx, v_in)
         f_r, f_b = m.init_state_layers(1.0, 1.0, invading_rows=inv_rows)
