@@ -42,7 +42,8 @@ from ..ops import equilibrium as eq
 from ..ops import macroscopic as mac
 from ..ops import shanchen as sc
 from ..ops.forcing import efs_force_pdf
-from ..ops.streaming import stream, upwind_solid_masks
+from ..ops.streaming import (stream, stream_moving_wall,
+                             upwind_solid_masks)
 
 __all__ = ["ShanChenParams", "ShanChenMCMP"]
 
@@ -105,7 +106,18 @@ class ShanChenMCMP:
 
     def __init__(self, geometry: Geometry, params: ShanChenParams,
                  boundaries: SCBoundaryConfig = SCBoundaryConfig(),
-                 dtype=jnp.float32, use_pallas: bool | str = "auto"):
+                 dtype=jnp.float32, use_pallas: bool | str = "auto",
+                 moving_wall_mask: np.ndarray | None = None,
+                 wall_velocity: tuple[float, float] = (0.0, 0.0)):
+        """moving_wall_mask: bool (ny, nx) subset of the solid voxels that
+        translate at ``wall_velocity`` — streaming then uses the
+        *multi-fluid* moving-wall link bounce-back of
+        ``calStreaming1withLinkGPU`` / ``calLinkBounceBack``
+        (``OptimizedD2Q9GPU.py:1664-1692``): each fluid k's bounced link
+        gains the wall-momentum term with its OWN density rho_k.  The
+        reference keeps the launch commented out
+        (``ShanChenD2Q9.py:1595-1599``); here it runs on the jnp path
+        (the fused kernels do not carry it — ``make_block_step`` refuses)."""
         self.lat = D2Q9
         self.geo = geometry
         self.p = params
@@ -116,6 +128,15 @@ class ShanChenMCMP:
         self.fluid_mask = jnp.asarray(geometry.is_fluid, dtype)
         self.upwind_solid = jnp.asarray(
             upwind_solid_masks(self.lat, geometry.is_solid))
+        self.wall_velocity = (float(wall_velocity[0]),
+                              float(wall_velocity[1]))
+        self.upwind_moving = None
+        if moving_wall_mask is not None and any(self.wall_velocity):
+            mm = np.asarray(moving_wall_mask, bool)
+            if not (mm <= geometry.is_solid).all():
+                raise ValueError("moving_wall_mask must lie on solid voxels")
+            self.upwind_moving = jnp.asarray(
+                upwind_solid_masks(self.lat, mm))
         self.fields = sc.build_interaction_fields(
             geometry.is_solid, order=params.iso_order)
         self.tau = np.asarray(params.tau, np.float64)
@@ -151,6 +172,8 @@ class ShanChenMCMP:
         checks, and sharded meshes."""
         if not use_pallas:
             return None
+        if self.upwind_moving is not None:
+            return None  # moving-wall link BB lives on the jnp path only
         if use_pallas == "auto":
             try:
                 platform = jax.devices()[0].platform
@@ -171,6 +194,8 @@ class ShanChenMCMP:
         ``storage='bf16'`` maps the (K, 11, ny, nx) bfloat16 state instead
         (``pack_state_bf16``): per-fluid PDF deviations + rho hi/lo pair,
         ~1.6x less HBM traffic at ~2e-3 relative storage rounding."""
+        if self.upwind_moving is not None:
+            return None  # moving-wall link BB lives on the jnp path only
         from ..pallas.shanchen import build_sc_fused_step
         return build_sc_fused_step(
             self.geo, self.p, self.dtype, rows_per_block,
@@ -292,7 +317,7 @@ class ShanChenMCMP:
         else:
             tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
             f = f - (f - feq) / tau_q
-        f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
+        f = self._stream(f, rho_k)
         f = self._apply_outlet(f, f_old, vy_out)
         if self._chang:
             f = self._apply_chang(f, f_old)
@@ -328,9 +353,21 @@ class ShanChenMCMP:
                 # is C(target - f); add the full force term afterwards.
                 parts.append(f[i] + (relaxed) + ff[i])
             f = jnp.stack(parts)
-        f = stream(f, self.lat, self.upwind_solid) * self.fluid_mask
+        f = self._stream(f, rho_k)
         f = self._apply_outlet(f, None)
         return f
+
+    def _stream(self, f, rho_k):
+        """Pull streaming; moving-wall links add the per-fluid
+        wall-momentum term -6 w_i rho_k (e_i . u_wall) when a
+        ``moving_wall_mask`` is configured (collision conserves rho_k,
+        so the pre-collision densities are exact here)."""
+        if self.upwind_moving is not None:
+            f = stream_moving_wall(f, self.lat, self.upwind_solid,
+                                   rho_k, self.wall_velocity,
+                                   self.upwind_moving)
+            return f * self.fluid_mask
+        return stream(f, self.lat, self.upwind_solid) * self.fluid_mask
 
     # ------------------------------------------------------------------
     def _apply_inlet(self, f):

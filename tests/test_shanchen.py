@@ -318,3 +318,56 @@ def test_sc_three_fluids_separation_and_mass():
         assert rho_k[k, row].mean() > 0.9
         others = [j for j in range(3) if j != k]
         assert all(rho_k[j, row].mean() < 0.1 for j in others)
+
+
+def test_moving_wall_link_bb_multifluid_matches_single_phase():
+    """Multi-fluid moving-wall link bounce-back (``calStreaming1withLinkGPU``
+    / ``calLinkBounceBack``, ``OptimizedD2Q9GPU.py:1664-1692`` — the
+    reference's multi-fluid kernel, launch commented out at
+    ``ShanChenD2Q9.py:1595-1599``).
+
+    With zero interaction (G=0, G_s=0) and equal taus, two identical SC
+    fluids at rho/2 each are an exact partition of one single-phase fluid:
+    feq is linear in rho at a common velocity, and each fluid's bounced
+    link gains 6 w_i rho_k (e_i.u_w), which sums to the single-phase term.
+    So sum_k f_k must reproduce ``SinglePhaseD2Q9`` with the same moving
+    lid exactly (f64) — and the Couette profile must be monotone toward
+    the lid."""
+    from openlbmpm_tpu.models.single_phase import SinglePhaseD2Q9
+
+    ny, nx = 40, 24
+    solid = np.zeros((ny, nx), bool)
+    solid[:2, :] = True          # stationary bottom wall
+    solid[-2:, :] = True         # moving lid
+    moving = np.zeros((ny, nx), bool)
+    moving[-2:, :] = True
+    u_wall = (0.08, 0.0)
+
+    p = ShanChenParams(g_matrix=((0.0, 0.0), (0.0, 0.0)),
+                       g_solid=(0.0, 0.0), tau=(0.8, 0.8))
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=jnp.float64,
+                     use_pallas=False, moving_wall_mask=moving,
+                     wall_velocity=u_wall)
+    assert m.make_block_step() is None  # jnp path only, by contract
+    f = m.init_state_layers((0.5, 0.5), (0.5, 0.5))
+
+    sp = SinglePhaseD2Q9(geo.from_solid_mask(solid), tau=0.8,
+                         dtype=jnp.float64, moving_wall_mask=moving,
+                         wall_velocity=u_wall)
+    f1 = sp.init_state(1.0)
+    np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)),
+                               np.asarray(f1), atol=1e-14)
+
+    n_steps = 400
+    f = run_chunked(m.step, f, num_steps=n_steps, io_interval=n_steps)
+    f1 = run_chunked(sp.step, f1, num_steps=n_steps, io_interval=n_steps)
+    np.testing.assert_allclose(np.asarray(jnp.sum(f, axis=0)),
+                               np.asarray(f1), rtol=0, atol=1e-12)
+
+    rho_k, (ux, uy) = m.macro(f)
+    prof = np.asarray(ux)[2:-2].mean(axis=1)
+    # Couette: ux increases monotonically toward the lid and the top
+    # fluid row moves a substantial fraction of the wall speed
+    assert (np.diff(prof) > -1e-12).all(), "profile not monotone"
+    assert prof[-1] > 0.5 * u_wall[0]
+    assert abs(prof[0]) < 0.2 * u_wall[0]
