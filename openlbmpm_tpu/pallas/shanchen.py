@@ -253,14 +253,30 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                 (p_ - q_) - 2.0 * d1, (p_ + q_) - 2.0 * d2,
                 s1p - s2p, sA - sB)
 
-    def _mrt_moment_post(fk, rho_k, ux, uy, inv_t, ff=None):
+    def _mrt_moment_post(fk, rho_k, ux, uy, inv_t, ff=None, fxy=None):
         """Moment-space MRT collision for the SC family: post_i = f_i
         [+ ff_i] − (M⁻¹ S (m(f) − m_eq(ρ,u) [+ m(ff)/2]))_i, with the SC
         relaxation vector (s1=0.6, s2=1.5, s4=s6=1.2, s7=s8=1/τ_k;
         ``mrt_relaxation_d2q9_sc``, mirrors ``ShanChenD2Q9.py:484-498``).
         Closed-form equilibrium moments replace the per-direction feq, and
         the sparse-coefficient inverse transform replaces the dense
-        9×9 M⁻¹SM apply (~2x fewer VPU ops, as in ``csf._collide_total``)."""
+        9×9 M⁻¹SM apply (~2x fewer VPU ops, as in ``csf._collide_total``).
+
+        ``fxy=(Fx, Fy)`` is the closed-form EFS force path (r5): the EDM
+        force PDF ff_i = 3 w_i (1 − 1.5u² + 3e·u + 4.5(e·u)²)((e_i−u)·F)
+        never materializes — its MRT moments h = M·ff are short
+        polynomials in (u, F) (sympy-derived; ρ cancels):
+            h0 = 0,  h3 = Fx,  h5 = Fy,  h2 = −h1,
+            h1 = 3(u·F)(2 − 3u²),
+            h4 = 3 uy (Fx uy + 2 Fy ux) − Fx,
+            h6 = 3 ux (Fy ux + 2 Fx uy) − Fy,
+            h7 = 2(Fx ux − Fy uy) − 3(u·F)(ux² − uy²),
+            h8 = (Fx uy + Fy ux) − 3(u·F) ux uy
+        and post = f − M⁻¹[S d − (I − S/2) h]: the non-conserved rows
+        fold into the relaxed moments, the conserved jx/jy rows (−Fx,
+        −Fy) fold into the inverse transform as e_i·F/6.  Replaces
+        ~55 plane ops per fluid (feq + 9 ff planes + their moment
+        transform) with ~25."""
         m1, m2, m4, m6, m7, m8 = _moments6(fk)
         uu = ux * ux + uy * uy
         r3u2 = (3.0 * rho_k) * uu
@@ -280,12 +296,35 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
             d6 = d6 + 0.5 * h6
             d7 = d7 + 0.5 * h7
             d8 = d8 + 0.5 * h8
-        md1 = float(_s_sc[1]) * d1
-        md2 = float(_s_sc[2]) * d2
-        md4 = float(_s_sc[4]) * d4
-        md6 = float(_s_sc[6]) * d6
-        md7 = inv_t * d7
-        md8 = inv_t * d8
+        s1, s2, s4, s6 = (float(_s_sc[1]), float(_s_sc[2]),
+                          float(_s_sc[4]), float(_s_sc[6]))
+        if fxy is not None:
+            fx_, fy_ = fxy
+            px = fx_ * ux
+            py = fy_ * uy
+            ufd = px + py
+            tyx = fy_ * ux
+            txy = fx_ * uy
+            cf = tyx + txy
+            tuf = 3.0 * ufd
+            h1 = ufd * (6.0 - 9.0 * uu)
+            h4 = (3.0 * uy) * (cf + tyx) - fx_
+            h6 = (3.0 * ux) * (cf + txy) - fy_
+            h7 = 2.0 * (px - py) - tuf * (ux * ux - uy * uy)
+            h8 = cf - tuf * (ux * uy)
+            md1 = s1 * d1 - (1.0 - 0.5 * s1) * h1
+            md2 = s2 * d2 + (1.0 - 0.5 * s2) * h1
+            md4 = s4 * d4 - (1.0 - 0.5 * s4) * h4
+            md6 = s6 * d6 - (1.0 - 0.5 * s6) * h6
+            md7 = inv_t * d7 - (1.0 - 0.5 * inv_t) * h7
+            md8 = inv_t * d8 - (1.0 - 0.5 * inv_t) * h8
+        else:
+            md1 = s1 * d1
+            md2 = s2 * d2
+            md4 = s4 * d4
+            md6 = s6 * d6
+            md7 = inv_t * d7
+            md8 = inv_t * d8
         A_ = (md1 + 2.0 * md2) * (-1.0 / 36.0)
         B_ = (2.0 * md1 + md2) * (1.0 / 36.0)
         t4 = md4 * (1.0 / 6.0)
@@ -294,6 +333,14 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         t8 = md8 * 0.25
         up = 0.5 * (t4 + t6)
         vp = 0.5 * (t4 - t6)
+        if fxy is not None:
+            # conserved jx/jy force rows of M⁻¹: post_i += (e_i·F)/6
+            fx6 = fx_ * (1.0 / 6.0)
+            fy6 = fy_ * (1.0 / 6.0)
+            t4 = t4 + fx6
+            t6 = t6 + fy6
+            up = up - (fx6 + fy6)
+            vp = vp + (fy6 - fx6)
         At7 = A_ + t7
         Am7 = A_ - t7
         Bp = B_ + t8
@@ -478,25 +525,28 @@ def build_sc_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         out = [[None] * 9 for _ in range(K)]
         for k in range(K):
             inv_t = 1.0 / tau[k]
-            feq, eu = _feq9(rho[k], ux, uy)
-            # force PDF f^F_i = 3 ((e-u).F) feq_i / rho
-            ef = [None, fx[k], fy[k], None, None, fx[k] + fy[k],
-                  fy[k] - fx[k], None, None]
-            uf = ux * fx[k] + uy * fy[k]
-            r3 = 3.0 / rho_safe[k]
-            ff = [None] * 9
-            ff[0] = (-uf) * feq[0] * r3
-            for i, io in _PAIRS9:
-                ff[i] = (ef[i] - uf) * feq[i] * r3
-                ff[io] = (-ef[i] - uf) * feq[io] * r3
             if params.collision == "SRT":
+                feq, eu = _feq9(rho[k], ux, uy)
+                # force PDF f^F_i = 3 ((e-u).F) feq_i / rho
+                ef = [None, fx[k], fy[k], None, None, fx[k] + fy[k],
+                      fy[k] - fx[k], None, None]
+                uf = ux * fx[k] + uy * fy[k]
+                r3 = 3.0 / rho_safe[k]
+                ff = [None] * 9
+                ff[0] = (-uf) * feq[0] * r3
+                for i, io in _PAIRS9:
+                    ff[i] = (ef[i] - uf) * feq[i] * r3
+                    ff[io] = (-ef[i] - uf) * feq[io] * r3
                 post = [None] * 9
                 for i in range(9):
                     post[i] = f[k][i] + \
                         (feq[i] - f[k][i] - 0.5 * ff[i]) * inv_t + ff[i]
             else:
-                # f' = f + ff - M^-1 S (m(f) - m_eq + m(ff)/2)
-                post = _mrt_moment_post(f[k], rho[k], ux, uy, inv_t, ff=ff)
+                # f' = f + ff - M^-1 S (m(f) - m_eq + m(ff)/2), with ff
+                # folded in closed form (no feq / ff planes — see
+                # _mrt_moment_post's fxy docstring)
+                post = _mrt_moment_post(f[k], rho[k], ux, uy, inv_t,
+                                        fxy=(fx[k], fy[k]))
             out[k][0] = post[0] * fl if final else post[0]
             for i in range(1, 9):
                 dx, dy = int(_E[i, 0]), int(_E[i, 1])
