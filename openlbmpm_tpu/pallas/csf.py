@@ -1140,15 +1140,27 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                   jnp.where(phi >= -delta, tau2, tau_b)))
         inv_tau = 1.0 / tau
         uu = ux * ux + uy * uy
+        base_u = -1.5 * uu
+        # pair-shared equilibria per color (quad_i = qa ± qb; r5 VPU shave)
+        eu_p = {1: ux, 2: uy, 5: ux + uy, 6: uy - ux}
         post_r = [None] * 9
         post_b = [None] * 9
         feq_rs = [None] * 9
         feq_bs = [None] * 9
-        for i in range(9):
-            eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
-            quad = float(w_lat[i]) * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-            feq_rs[i] = rho_r * (float(c_r[i]) + quad)
-            feq_bs[i] = rho_b * (float(c_b[i]) + quad)
+        q0 = float(w_lat[0]) * base_u
+        feq_rs[0] = rho_r * (float(c_r[0]) + q0)
+        feq_bs[0] = rho_b * (float(c_b[0]) + q0)
+        for i, io in _PAIRS:
+            w = float(w_lat[i])
+            eui = eu_p[i]
+            qa = w * (4.5 * (eui * eui) + base_u)
+            qb = (3.0 * w) * eui
+            ar = float(c_r[i]) + qa
+            ab = float(c_b[i]) + qa
+            feq_rs[i] = rho_r * (ar + qb)
+            feq_rs[io] = rho_r * (ar - qb)
+            feq_bs[i] = rho_b * (ab + qb)
+            feq_bs[io] = rho_b * (ab - qb)
         if is_mrt:
             # per-color moment-space collision with the shared tau(phi)
             # (``calRKCollision1GPU2DMRT``, AcceleratedRKGPU2D.py:429)
@@ -1170,31 +1182,50 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         gnorm = jnp.sqrt(g2)
         gsafe = g2 > 0
         g2_s = jnp.where(gsafe, g2, 1.0)
-        for i in range(9):
-            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
-            base = gnorm * (float(w_lat[i]) * eg * eg / g2_s
-                            - float(B_CONSTANTS[i]))
-            pert = jnp.where(gsafe, base, 0.0)
-            post_r[i] = post_r[i] + (0.5 * a_kr) * pert
-            post_b[i] = post_b[i] + (0.5 * a_kb) * pert
-        # RK-original recoloring on the total PDF
-        e_norm = np.sqrt((e.astype(np.float64) ** 2).sum(axis=1))
-        e_norm[e_norm == 0] = 1.0
+        # perturbation is pair-even (eg² and B_i shared across i/opp(i));
+        # the gnorm factor kills both terms where the gradient vanishes
+        eg_p = {1: gx, 2: gy, 5: gx + gy, 6: gy - gx}
+        cgn = gnorm / g2_s
+        gb_a = float(B_CONSTANTS[1]) * gnorm
+        gb_d = float(B_CONSTANTS[5]) * gnorm
+        hr = 0.5 * a_kr
+        hb = 0.5 * a_kb
+        p0 = (-float(B_CONSTANTS[0])) * gnorm
+        post_r[0] = post_r[0] + hr * p0
+        post_b[0] = post_b[0] + hb * p0
+        for i, io in _PAIRS:
+            egi = eg_p[i]
+            p = (float(w_lat[i])) * cgn * (egi * egi) - \
+                (gb_a if i < 5 else gb_d)
+            pr = hr * p
+            pb = hb * p
+            post_r[i] = post_r[i] + pr
+            post_r[io] = post_r[io] + pr
+            post_b[i] = post_b[i] + pb
+            post_b[io] = post_b[io] + pb
+        # RK-original recoloring on the total PDF: pair-odd segments
+        # (cos flips across i/opp(i); the rk-constant part is pair-equal)
         safe2 = gnorm > _EPS
-        gnorm_s = jnp.where(safe2, gnorm, 1.0)
+        ginv = jnp.where(safe2, 1.0 / jnp.where(safe2, gnorm, 1.0), 0.0)
         frac_r = rho_r * rinv
         seg_base = beta * rho_r * rho_b * (rinv * rinv)
+        lin_a = rho_r * float(c_r[1]) + rho_b * float(c_b[1])
+        lin_d = rho_r * float(c_r[5]) + rho_b * float(c_b[5])
+        s_a = (seg_base * lin_a) * ginv
+        s_d = (seg_base * lin_d) * (ginv * float(1.0 / np.sqrt(2.0)))
         fr_post = [None] * 9
         fb_post = [None] * 9
-        for i in range(9):
-            ft = post_r[i] + post_b[i]
-            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
-            cos_t_ = jnp.where(safe2, eg / (gnorm_s * float(e_norm[i])),
-                               0.0)
-            feq_rho = rho_r * float(c_r[i]) + rho_b * float(c_b[i])
-            seg = seg_base * feq_rho * cos_t_
-            fr_post[i] = frac_r * ft + seg
-            fb_post[i] = ft - fr_post[i]
+        ft0 = post_r[0] + post_b[0]
+        fr_post[0] = frac_r * ft0
+        fb_post[0] = ft0 - fr_post[0]
+        for i, io in _PAIRS:
+            seg = (s_a if i < 5 else s_d) * eg_p[i]
+            fti = post_r[i] + post_b[i]
+            fto = post_r[io] + post_b[io]
+            fr_post[i] = frac_r * fti + seg
+            fb_post[i] = fti - fr_post[i]
+            fr_post[io] = frac_r * fto - seg
+            fb_post[io] = fto - fr_post[io]
         out_r = [None] * 9
         out_b = [None] * 9
         out_r[0] = fr_post[0] * fl if final else fr_post[0]
@@ -1241,13 +1272,25 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
                                   jnp.where(phi >= -delta, tau2, tau_b)))
         inv_tau = 1.0 / tau
         uu = ux * ux + uy * uy
+        base_u = -1.5 * uu
+        # rk_constants are 3-valued (rest / axis / diagonal), so the linear
+        # part of feq_tot collapses to three shared planes; the quadratic
+        # part pair-shares a ± b as in _feq_src3 (r5 VPU shave).
+        lin0 = rho_r * float(c_r[0]) + rho_b * float(c_b[0])
+        lin_a = rho_r * float(c_r[1]) + rho_b * float(c_b[1])
+        lin_d = rho_r * float(c_r[5]) + rho_b * float(c_b[5])
+        eu_p = {1: ux, 2: uy, 5: ux + uy, 6: uy - ux}
         post = [None] * 9
         feq_ts = [None] * 9
-        for i in range(9):
-            eu = float(e[i, 0]) * ux + float(e[i, 1]) * uy
-            quad = float(w_lat[i]) * (3.0 * eu + 4.5 * eu * eu - 1.5 * uu)
-            feq_ts[i] = rho_r * float(c_r[i]) + rho_b * float(c_b[i]) \
-                + rho * quad
+        feq_ts[0] = lin0 + rho * (float(w_lat[0]) * base_u)
+        for i, io in _PAIRS:
+            w = float(w_lat[i])
+            eui = eu_p[i]
+            a = (lin_a if i < 5 else lin_d) + \
+                rho * (w * (4.5 * (eui * eui) + base_u))
+            b = rho * ((3.0 * w) * eui)
+            feq_ts[i] = a + b
+            feq_ts[io] = a - b
         if is_mrt:
             # total-PDF moment collision (linear in the per-color PDFs)
             corr = _mrt_relax([ft[i] - feq_ts[i] for i in range(9)],
@@ -1264,24 +1307,34 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         gsafe = g2 > 0
         g2_s = jnp.where(gsafe, g2, 1.0)
         a_k = 0.5 * (a_kr + a_kb)
-        for i in range(9):
-            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
-            base = gnorm * (float(w_lat[i]) * eg * eg / g2_s
-                            - float(B_CONSTANTS[i]))
-            post[i] = post[i] + a_k * jnp.where(gsafe, base, 0.0)
-        e_norm = np.sqrt((e.astype(np.float64) ** 2).sum(axis=1))
-        e_norm[e_norm == 0] = 1.0
+        # perturbation is pair-even (eg² and B_i shared across i/opp(i));
+        # the gnorm factor kills both terms where the gradient vanishes,
+        # so no select is needed
+        eg_p = {1: gx, 2: gy, 5: gx + gy, 6: gy - gx}
+        cg = a_k * (gnorm / g2_s)
+        gb_a = (a_k * float(B_CONSTANTS[1])) * gnorm
+        gb_d = (a_k * float(B_CONSTANTS[5])) * gnorm
+        post[0] = post[0] - (a_k * float(B_CONSTANTS[0])) * gnorm
+        for i, io in _PAIRS:
+            egi = eg_p[i]
+            p = (float(w_lat[i]) * cg) * (egi * egi) - \
+                (gb_a if i < 5 else gb_d)
+            post[i] = post[i] + p
+            post[io] = post[io] + p
+        # recoloring is pair-odd: seg_opp(i) = -seg_i (cos flips, the
+        # rk-constant linear part lin_a/lin_d is pair-equal)
         safe2 = gnorm > _EPS
-        gnorm_s = jnp.where(safe2, gnorm, 1.0)
+        ginv = jnp.where(safe2, 1.0 / jnp.where(safe2, gnorm, 1.0), 0.0)
         frac_r = rho_r * rinv
         seg_base = beta * rho_r * rho_b * (rinv * rinv)
+        s_a = (seg_base * lin_a) * ginv
+        s_d = (seg_base * lin_d) * (ginv * float(1.0 / np.sqrt(2.0)))
         fr_post = [None] * 9
-        for i in range(9):
-            eg = float(e[i, 0]) * gx + float(e[i, 1]) * gy
-            cos_t_ = jnp.where(safe2, eg / (gnorm_s * float(e_norm[i])),
-                               0.0)
-            feq_rho = rho_r * float(c_r[i]) + rho_b * float(c_b[i])
-            fr_post[i] = frac_r * post[i] + seg_base * feq_rho * cos_t_
+        fr_post[0] = frac_r * post[0]
+        for i, io in _PAIRS:
+            seg = (s_a if i < 5 else s_d) * eg_p[i]
+            fr_post[i] = frac_r * post[i] + seg
+            fr_post[io] = frac_r * post[io] - seg
         out_t = [None] * 9
         out_t[0] = post[0] * fl if final else post[0]
         rho_r_new = fr_post[0]
