@@ -41,7 +41,7 @@ from ..ops import collision as col
 from ..ops import equilibrium as eq
 from ..ops import macroscopic as mac
 from ..ops import shanchen as sc
-from ..ops.forcing import efs_force_pdf
+from ..ops.forcing import efs_force_pdf, guo_source
 from ..ops.streaming import (stream, stream_moving_wall,
                              upwind_solid_masks)
 
@@ -67,6 +67,24 @@ class ShanChenParams:
     psi: Literal["rho", "PR"] = "rho"       # pseudopotential form
     body_force: tuple[float, float] = (0.0, 0.0)
     pr_params: tuple = ()                   # optional P-R EOS overrides
+    # How the interaction force enters the original-SC collision:
+    #   shift — tau-scaled equilibrium-velocity shift (the reference's live
+    #           path, ``interactionCollisionProcess``);
+    #   guo   — Guo et al. 2002 source term at the barycentric physical
+    #           velocity u = (sum_k m_k + F_tot/2)/rho_tot, per-fluid
+    #           f' = f - (f - feq(u))/tau + (1 - 1/(2 tau)) S_i(u, F_k)
+    #           (the reference carries this as the never-launched
+    #           ``interactionForceGuo``/``calCollisionGuo`` pair,
+    #           ``OptimizedD2Q9GPU.py:1804-1942``);
+    #   edm   — Kupershtokh exact-difference forcing at the common
+    #           velocity u': f' = f - (f - feq(u'))/tau
+    #           + [feq(u' + F_k/rho_k) - feq(u')] (the standard form of
+    #           the reference's dead ``interactionCollisionEOFProcess``,
+    #           ``OptimizedD2Q9GPU.py:1454-1632`` — see DEVIATIONS.md for
+    #           the defect that kernel carries).
+    # SC scheme only; the jnp path implements all three (fused TPU kernels
+    # carry the production "shift" form).
+    forcing: Literal["shift", "guo", "edm"] = "shift"
 
     @property
     def num_fluids(self) -> int:
@@ -153,6 +171,9 @@ class ShanChenMCMP:
         # ``ExplicitD2Q9GPU.py:392-625``).
         self._bc_depth = ({4: 1, 8: 2, 10: 3}[params.iso_order]
                           if params.scheme == "EFS" else 1)
+        if params.forcing != "shift" and params.scheme != "SC":
+            raise ValueError("forcing='guo'/'edm' applies to the original-SC "
+                             "scheme (EFS has its own explicit forcing)")
         self._chang = (boundaries.inlet.startswith("chang") or
                        boundaries.outlet.startswith("chang"))
         if self._chang and params.scheme != "SC":
@@ -174,6 +195,8 @@ class ShanChenMCMP:
             return None
         if self.upwind_moving is not None:
             return None  # moving-wall link BB lives on the jnp path only
+        if self.p.forcing != "shift":
+            return None  # guo/edm forcing lives on the jnp path only
         if use_pallas == "auto":
             try:
                 platform = jax.devices()[0].platform
@@ -196,6 +219,8 @@ class ShanChenMCMP:
         ~1.6x less HBM traffic at ~2e-3 relative storage rounding."""
         if self.upwind_moving is not None:
             return None  # moving-wall link BB lives on the jnp path only
+        if self.p.forcing != "shift":
+            return None  # guo/edm forcing lives on the jnp path only
         from ..pallas.shanchen import build_sc_fused_step
         return build_sc_fused_step(
             self.geo, self.p, self.dtype, rows_per_block,
@@ -304,19 +329,58 @@ class ShanChenMCMP:
             my = mac.momentum(self.lat, f)[1]
             vy_out = jnp.sum(my + 0.5 * fy, axis=0)[3] / \
                 jnp.sum(rho_safe, axis=0)[3]
-        # per-fluid equilibrium velocity u_eq = u' + tau F / rho
-        tau_b = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1)
-        ueq_x = upx[None] + tau_b * fx / rho_safe
-        ueq_y = upy[None] + tau_b * fy / rho_safe
-        feq = eq.feq_quadratic(self.lat, rho_k, (ueq_x, ueq_y))
-        if self.p.collision == "MRT":
-            # moment-space relaxation toward feq(u_eq): the SC forcing is
-            # entirely in the shifted equilibrium velocity
-            f = jnp.stack([col.mrt(f[i], feq[i], self.lat, self._mrt_s[i])
-                           for i in range(self.k)])
-        else:
-            tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
-            f = f - (f - feq) / tau_q
+        if self.p.forcing == "shift":
+            # per-fluid equilibrium velocity u_eq = u' + tau F / rho
+            tau_b = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1)
+            ueq_x = upx[None] + tau_b * fx / rho_safe
+            ueq_y = upy[None] + tau_b * fy / rho_safe
+            feq = eq.feq_quadratic(self.lat, rho_k, (ueq_x, ueq_y))
+            if self.p.collision == "MRT":
+                # moment-space relaxation toward feq(u_eq): the SC forcing
+                # is entirely in the shifted equilibrium velocity
+                f = jnp.stack([col.mrt(f[i], feq[i], self.lat,
+                                       self._mrt_s[i])
+                               for i in range(self.k)])
+            else:
+                tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
+                f = f - (f - feq) / tau_q
+        elif self.p.forcing == "guo":
+            # Guo 2002 at the barycentric physical velocity: feq and the
+            # source both evaluate at u = (sum_k m_k + F_tot/2)/rho_tot,
+            # identical for every fluid; the half-force shift makes the
+            # recovered momentum second-order (the dead ``calCollisionGuo``
+            # form, with the per-moment (1 - s/2) correction under MRT)
+            mx, my = mac.momentum(self.lat, f)
+            rho_tot = jnp.sum(rho_k, axis=0)
+            rho_tot = jnp.where(rho_tot > 0, rho_tot, 1.0)
+            ux = (jnp.sum(mx, axis=0) + 0.5 * jnp.sum(fx, axis=0)) / rho_tot
+            uy = (jnp.sum(my, axis=0) + 0.5 * jnp.sum(fy, axis=0)) / rho_tot
+            ub = (jnp.broadcast_to(ux[None], rho_k.shape),
+                  jnp.broadcast_to(uy[None], rho_k.shape))
+            feq = eq.feq_quadratic(self.lat, rho_k, ub)
+            src = guo_source(self.lat, ub, (fx, fy))
+            if self.p.collision == "MRT":
+                f = jnp.stack([
+                    col.mrt(f[i], feq[i], self.lat, self._mrt_s[i]) +
+                    col.mrt_force_transform(src[i], self.lat, self._mrt_s[i])
+                    for i in range(self.k)])
+            else:
+                tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
+                f = f - (f - feq) / tau_q + (1.0 - 0.5 / tau_q) * src
+        else:  # edm: Kupershtokh exact difference at the common velocity
+            ub = (jnp.broadcast_to(upx[None], rho_k.shape),
+                  jnp.broadcast_to(upy[None], rho_k.shape))
+            feq = eq.feq_quadratic(self.lat, rho_k, ub)
+            dfeq = eq.feq_quadratic(
+                self.lat, rho_k,
+                (ub[0] + fx / rho_safe, ub[1] + fy / rho_safe)) - feq
+            if self.p.collision == "MRT":
+                f = jnp.stack([col.mrt(f[i], feq[i], self.lat,
+                                       self._mrt_s[i])
+                               for i in range(self.k)]) + dfeq
+            else:
+                tau_q = jnp.asarray(self.tau, self.dtype).reshape(-1, 1, 1, 1)
+                f = f - (f - feq) / tau_q + dfeq
         f = self._stream(f, rho_k)
         f = self._apply_outlet(f, f_old, vy_out)
         if self._chang:

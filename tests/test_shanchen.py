@@ -371,3 +371,84 @@ def test_moving_wall_link_bb_multifluid_matches_single_phase():
     assert (np.diff(prof) > -1e-12).all(), "profile not monotone"
     assert prof[-1] > 0.5 * u_wall[0]
     assert abs(prof[0]) < 0.2 * u_wall[0]
+
+
+# -- Guo / exact-difference forcing options (OptimizedD2Q9GPU.py:1454-1632,
+# 1804-1942 — dead code in the reference, rebuilt here in the standard
+# literature forms; see DEVIATIONS.md "EOF / Guo forcing variants") -------
+def _body_force_channel(forcing, collision="SRT", tau=1.0, nx=34, ny=8,
+                        fy=1e-6, steps=6000):
+    """Single-fluid body-force Poiseuille between x-walls, periodic in y."""
+    solid = np.zeros((ny, nx), bool)
+    solid[:, 0] = solid[:, -1] = True
+    p = ShanChenParams(g_matrix=((0.0,),), g_solid=(0.0,), tau=(tau,),
+                       collision=collision, body_force=(0.0, fy),
+                       forcing=forcing)
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=jnp.float64,
+                     use_pallas=False)
+    f = m.init_state_layers((1.0,), (1.0,), invading_rows=0)
+    f = run_chunked(m.step, f, num_steps=steps, io_interval=steps)
+    _, (ux, uy) = m.macro(f)
+    return np.asarray(uy)[ny // 2]  # (nx,) profile
+
+
+@pytest.mark.parametrize("forcing,collision", [
+    ("shift", "SRT"), ("guo", "SRT"), ("edm", "SRT"), ("guo", "MRT")])
+def test_forcing_schemes_poiseuille(forcing, collision):
+    """All three SC forcing schemes recover the analytic body-force
+    Poiseuille profile (half-way bounce-back wall at +-0.5 cells)."""
+    tau, fy, nx = 1.0, 1e-6, 34
+    prof = _body_force_channel(forcing, collision, tau=tau, fy=fy, nx=nx)
+    nu = (tau - 0.5) / 3.0
+    xc = (nx - 1) / 2.0
+    x = np.arange(1, nx - 1)
+    half = (nx - 2) / 2.0  # half-width to the half-way wall plane
+    ana = fy / (2.0 * nu) * (half ** 2 - (x - xc) ** 2)
+    np.testing.assert_allclose(prof[1:-1], ana, rtol=0,
+                               atol=0.02 * ana.max())
+    # walls are solid: zero velocity there
+    assert prof[0] == 0.0 and prof[-1] == 0.0
+
+
+def test_forcing_guo_edm_agree():
+    """Guo and EDM are both second-order discretizations of the same NS
+    body force: steady profiles agree to a tighter bar than either is
+    required to match the analytic curve."""
+    a = _body_force_channel("guo")
+    b = _body_force_channel("edm")
+    np.testing.assert_allclose(a, b, rtol=0, atol=0.005 * a.max())
+
+
+@pytest.mark.parametrize("forcing", ["guo", "edm"])
+def test_forcing_mass_conserved_two_fluid(forcing):
+    """sum_i S_i = 0 (Guo) and sum_i dfeq_i = 0 (EDM): per-fluid mass is
+    exactly conserved through the interaction-forced collision."""
+    solid = np.zeros((40, 40), bool)
+    p = ShanChenParams(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                       g_solid=(0.0, 0.0), tau=(1.0, 0.8), forcing=forcing)
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=jnp.float64,
+                     use_pallas=False)
+    assert m.make_block_step() is None  # jnp path only, by contract
+    f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=8.0)
+    mass0 = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    f = run_chunked(m.step, f, num_steps=60, io_interval=60)
+    mass = np.asarray(jnp.sum(f, axis=(1, 2, 3)))
+    np.testing.assert_allclose(mass, mass0, rtol=1e-12)
+    assert bool(jnp.isfinite(f).all())
+
+
+@pytest.mark.parametrize("forcing", ["guo", "edm"])
+def test_forcing_phase_separation(forcing):
+    """The forced two-fluid droplet stays separated (interface holds) under
+    the alternative forcings — same setup as the SC-shift droplet tests."""
+    solid = np.zeros((48, 48), bool)
+    p = ShanChenParams(g_matrix=((0.0, 3.6), (3.6, 0.0)),
+                       g_solid=(0.0, 0.0), tau=(1.0, 1.0), forcing=forcing)
+    m = ShanChenMCMP(geo.from_solid_mask(solid), p, dtype=jnp.float64,
+                     use_pallas=False)
+    f = m.init_state_droplet((1.0, 1.0), (0.02, 0.02), radius=10.0)
+    f = run_chunked(m.step, f, num_steps=800, io_interval=800)
+    rho_k = np.asarray(jnp.sum(f, axis=1))
+    # droplet interior stays fluid-0 rich, bath stays fluid-1 rich
+    assert rho_k[0, 24, 24] > 10 * rho_k[1, 24, 24]
+    assert rho_k[1, 4, 4] > 10 * rho_k[0, 4, 4]
