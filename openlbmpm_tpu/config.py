@@ -223,6 +223,14 @@ def load_shanchen(main_path: str, physics_path: str | None = None):
         body_force=(phys.number("BodyForce", "forceXG", default=0.0),
                     phys.number("BodyForce", "forceYG", default=0.0))
         if body else (0.0, 0.0),
+        # Rebuild extension (no reference key exists — the reference's
+        # Guo/EOF kernels are dead code): ForceScheme/ForcingMethod =
+        # 'Shift' (default) | 'Guo' | 'EDM' selects the SC collision
+        # forcing (DEVIATIONS.md "EOF / Guo forcing variants").
+        forcing={"shift": "shift", "guo": "guo", "edm": "edm"}.get(
+            phys.text("ForceScheme", "ForcingMethod",
+                      default="Shift").lower(), "shift")
+        if scheme == "SC" else "shift",
     )
     inlet = _bc_name(phys.text("BoundaryDefinition", "BoundaryTypeInlet",
                                default="periodic"))

@@ -452,3 +452,32 @@ def test_forcing_phase_separation(forcing):
     # droplet interior stays fluid-0 rich, bath stays fluid-1 rich
     assert rho_k[0, 24, 24] > 10 * rho_k[1, 24, 24]
     assert rho_k[1, 4, 4] > 10 * rho_k[0, 4, 4]
+
+
+def test_forcing_selectable_from_ini(tmp_path):
+    """ForceScheme/ForcingMethod = 'Guo'|'EDM' (rebuild extension; the
+    reference's Guo/EOF kernels are dead code with no INI key) selects
+    the alternative SC forcing; default stays the velocity shift."""
+    from openlbmpm_tpu.config import load_shanchen
+    main = tmp_path / "twophasesetup.ini"
+    main.write_text(
+        "[SeparationBorder]\nxGrid = 24\nyGrid = 64\n"
+        "[FluidsTypes]\nNumberOfFluids = 2\n"
+        "[InterType]\nInteractionType = 'ShanChen'\n"
+        "[RelaxationType]\nType = 'SRT'\n")
+    phys = tmp_path / "shanchen2D.ini"
+    base = (
+        "[FluidProperties]\nFluidsTau = 1.0, 1.0\n"
+        "InitialDensities = 1.0, 1.0\nBackgroundDensities = 0.02, 0.02\n"
+        "[ShanChenParameters]\ninteractionFluid = 3.6\n"
+        "interactionSolid = -0.3, 0.3\n"
+        "[Time]\nnumberTimeStep = 100\n")
+    phys.write_text(base)
+    params, *_ = load_shanchen(str(main), str(phys))
+    assert params.forcing == "shift"
+    phys.write_text(base + "[ForceScheme]\nForcingMethod = 'Guo'\n")
+    params, *_ = load_shanchen(str(main), str(phys))
+    assert params.forcing == "guo"
+    phys.write_text(base + "[ForceScheme]\nForcingMethod = 'EDM'\n")
+    params, *_ = load_shanchen(str(main), str(phys))
+    assert params.forcing == "edm"
