@@ -1,6 +1,7 @@
-"""A/B the coupled CSF + D2Q5 transport kernel (compressed vs split).
+"""A/B the coupled CSF + D2Q5 transport kernel (compressed vs split vs
+bf16 flow-plane storage).
 
-Usage: python benchmarks/probe_coupled.py [split|comp] [T,R ...]
+Usage: python benchmarks/probe_coupled.py [split|comp|bf16] [T,R ...]
 """
 import os
 import sys
@@ -41,12 +42,17 @@ def main(mode, configs):
         try:
             blk = m.make_block_step(steps_per_call=t_block,
                                     rows_per_block=rows,
-                                    compressed=(mode == "comp"))
+                                    compressed=(mode in ("comp", "bf16")),
+                                    storage="bf16" if mode == "bf16"
+                                    else "f32")
             if blk is None:
                 print(f"{mode} T={t_block} R={rows}: does not decompose",
                       flush=True)
                 continue
-            if mode == "comp":
+            if mode == "bf16":
+                state = (m.flow.pack_state_bf16(st0.f_r, st0.f_b),
+                         jnp.array(st0.g))
+            elif mode == "comp":
                 state = (m.flow.pack_state(st0.f_r, st0.f_b),
                          jnp.array(st0.g))
             else:
@@ -65,7 +71,8 @@ def main(mode, configs):
             jax.block_until_ready(state)
             dt = time.perf_counter() - t0
             mlups = n * n * (n_calls * t_block) / dt / 1e6
-            fin = bool(np.isfinite(np.asarray(state[0])).all())
+            fin = bool(np.isfinite(np.asarray(state[0],
+                                              np.float32)).all())
             print(f"{mode} T={t_block} R={rows}: {mlups:.0f} MLUPS "
                   f"({dt / (n_calls * t_block) * 1e3:.3f} ms/step) "
                   f"finite={fin}", flush=True)

@@ -775,17 +775,20 @@ class TransportRK3D:
         return self.transport.concentration(g)
 
     def make_fused_step(self, slabs_per_block: int | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False, storage: str = "f32"):
         """Fused coupled step ``(s, g) -> (s', g')`` on the compressed
         20-plane flow state (``flow.pack_state``) with the D3Q7 tracers
-        advanced in the same Pallas pass (see pallas/cg3d.py).  Returns
-        None when the domain does not slab-decompose."""
+        advanced in the same Pallas pass (see pallas/cg3d.py).
+        ``storage='bf16'`` maps the FLOW planes to the 21-plane bf16
+        state (``flow.pack_state_bf16``); tracer PDFs stay f32, so
+        tracer mass conservation is unchanged.  Returns None when the
+        domain does not slab-decompose."""
         from ..pallas.cg3d import build_cg3d_fused_step
         return build_cg3d_fused_step(
             self.geo, self.flow.p, self.flow.dtype, slabs_per_block,
             steps_per_call=1, bc_config=self.flow.bcs,
             state_mode="compressed", transport=self.transport,
-            interpret=interpret)
+            interpret=interpret, storage=storage)
 
     def _step_impl(self, state):
         # op order (3D semantics are this framework's to define — the

@@ -126,20 +126,25 @@ class TransportRK:
     def make_block_step(self, steps_per_call: int = 2,
                         rows_per_block: int | None = None,
                         compressed: bool = False,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        storage: str = "f32"):
         """Temporally-blocked fused coupled step (see pallas/csf.py).
         With ``compressed`` the callable maps ``(s, g) -> (s', g')`` with
         ``s = flow.pack_state(f_r, f_b)`` (10+NT·NQ HBM planes per step
-        instead of 18+NT·NQ).  With conserve_mass only steps_per_call=1
-        composes (the repair needs a fresh global mass total every step)
-        and the returned callable takes ``(f_r, f_b, g, mass0)``."""
+        instead of 18+NT·NQ).  ``storage='bf16'`` (compressed only)
+        further maps the FLOW planes to the 11-plane bf16 state
+        (``flow.pack_state_bf16``); tracer PDFs stay f32, so tracer mass
+        conservation is unchanged while the flow state's HBM traffic
+        halves.  With conserve_mass only steps_per_call=1 composes (the
+        repair needs a fresh global mass total every step) and the
+        returned callable takes ``(f_r, f_b, g, mass0)``."""
         from ..pallas.csf import build_csf_fused_step
         base = build_csf_fused_step(
             self.geo, self.flow.p, self.dtype, rows_per_block,
             steps_per_call=steps_per_call, bc_config=self.flow.bcs,
             transport_params=self.tp,
             state_mode="compressed" if compressed else "split",
-            interpret=interpret)
+            interpret=interpret, storage=storage)
         if base is None:
             return None
         if self.tp.interface_mode == "redistribute":

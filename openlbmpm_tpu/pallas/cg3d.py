@@ -190,7 +190,10 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     if has_transport and (not compressed or T != 1):
         return None
     bf16 = storage == "bf16"
-    if bf16 and (not compressed or is_local or has_transport):
+    # bf16 composes with the coupled-transport kernel (flow planes only:
+    # tracer PDFs stay f32 so tracer mass conservation is unaffected);
+    # the sharded path stays f32-only.
+    if bf16 and (not compressed or is_local):
         return None
     # y-tiling (2-D grid over z-blocks x y-tiles): cuts the in-window
     # cross-section so deeper z-blocks fit VMEM — halo amplification
@@ -1320,12 +1323,16 @@ def build_cg3d_fused_step(geometry: Geometry, params, dtype=jnp.float32,
         return step
     if compressed and has_transport:
         from ..ops.common import shift as _shift
+        _prologue_tr = _bc_prologue_c_bf16 if bf16 else _bc_prologue_c
 
         def step(s, g):
             """(s, g) -> (s', g'), g (NT, 7, nz, ny, nx)."""
             if bc_prologue:
-                s = _bc_prologue_c(s)
-            rho_r_pre = s[Q]
+                s = _prologue_tr(s)
+            if bf16:
+                rho_r_pre = s[Q].astype(dtype) + s[Q + 1].astype(dtype)
+            else:
+                rho_r_pre = s[Q]
             gf = g.reshape((NT * 7, nz, ny, nx))
             s2, g2 = call(s, s, s, geo_dev, geo_dev, geo_dev, gf, gf, gf)
             g2 = g2.reshape((NT, 7, nz, ny, nx))

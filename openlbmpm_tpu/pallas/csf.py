@@ -232,13 +232,16 @@ def build_csf_fused_step(geometry: Geometry, params, dtype=jnp.float32,
     is_local = local_ny is not None
     if is_local and not compressed:
         return None  # sharded fused path is compressed-only
-    # bf16 shifted-PDF storage (opt-in, compressed flow-only): the HBM
+    # bf16 shifted-PDF storage (opt-in, compressed only): the HBM flow
     # state becomes 11 bfloat16 planes — 9 *deviations* f_i - w_i*fl plus
     # rho_r as a hi/lo bf16 pair (exact to ~2^-17, f32-grade phase field)
-    # — halving the kernel's HBM traffic; all VMEM arithmetic stays f32.
-    # Same scheme as pallas/cg3d.py storage="bf16" (see its docstring).
+    # — halving the flow state's HBM traffic; all VMEM arithmetic stays
+    # f32.  Composes with the coupled-transport kernel: only the FLOW
+    # planes compress, tracer PDFs stay f32 (their absolute scale spans
+    # conc=0..1 and the mass-conservation bar is tighter than bf16's
+    # 2^-8 mantissa).  Same scheme as pallas/cg3d.py storage="bf16".
     bf16 = storage == "bf16"
-    if bf16 and (not compressed or has_transport or is_local):
+    if bf16 and (not compressed or is_local):
         return None
     grid_ny = int(local_ny) if is_local else ny
     T = int(steps_per_call)

@@ -427,6 +427,61 @@ def test_coupled_transport_compressed_matches_jnp(t_block, rpb):
     assert float(jnp.max(jnp.abs(a.g - g))) < 1e-12
 
 
+def test_coupled_bf16_storage_tracks_f32():
+    """storage='bf16' composes with the coupled flow+transport kernel:
+    FLOW planes ride the 11-plane bf16 shifted-PDF state while tracer
+    PDFs stay f32 — the bf16 trajectory tracks the f32 compressed
+    coupled trajectory within storage rounding, and tracer mass
+    conservation is f32-grade (tracers are never stored in bf16)."""
+    from openlbmpm_tpu.models.transport import TransportParams, TransportRK
+    n = 32
+    solid = np.zeros((n, n), bool)
+    solid[:, 0] = solid[:, -1] = True
+    fp = ColorGradientParams(variant="CSF", collision="MRT", tau_type=2,
+                             wetting_type=2)
+    bcs = CGBoundaryConfig(inlet="neumann", outlet="dirichlet",
+                           inlet_velocity=-1e-4, outlet_density_r=0.0,
+                           outlet_density_b=1.0)
+    tp = TransportParams(num_tracers=1, scheme=5, tau=(1.0,), j0=(1 / 3,),
+                         interface_mode="permeable", beta_interface=(0.5,))
+    m = TransportRK(geo.from_solid_mask(solid), fp, tp, bcs,
+                    dtype=jnp.float32, use_pallas=False)
+    f32_step = m.make_block_step(steps_per_call=2, rows_per_block=16,
+                                 compressed=True, interpret=True)
+    bf_step = m.make_block_step(steps_per_call=2, rows_per_block=16,
+                                compressed=True, interpret=True,
+                                storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_rows=10)
+    conc0 = np.zeros((1, n, n))
+    conc0[0, 20:28, :] = 1.0
+    st = m.init_state(fs, conc0)
+    s = m.flow.pack_state(st.f_r, st.f_b)
+    h = m.flow.pack_state_bf16(st.f_r, st.f_b)
+    g_s = st.g
+    g_h = st.g
+    mass0 = float(jnp.sum(st.g))
+    for _ in range(3):
+        s, g_s = f32_step(s, g_s)
+        h, g_h = bf_step(h, g_h)
+    assert h.dtype == jnp.bfloat16 and h.shape[0] == 11
+    assert g_h.dtype == jnp.float32
+    u = m.flow.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    # flow planes: bf16 storage rounding only (the Dirichlet-outlet row
+    # rewrites amplify the deviation rounding slightly past the pure-flow
+    # test's 5e-3)
+    assert float(jnp.max(jnp.abs(u[:9] - s[:9]))) < 1e-2
+    assert float(jnp.max(jnp.abs(u[9] - s[9]))) < 2e-2
+    # tracers: advected by a bf16-rounded velocity field but stored f32 —
+    # trajectory drift stays at interface-node storage-rounding scale and
+    # mass conservation is f32-grade
+    assert float(jnp.max(jnp.abs(g_h - g_s))) < 2e-2
+    # compare against the f32 path's mass (same summation order) so the
+    # bar measures bf16-induced drift, not f32 global-sum accumulation
+    assert abs(float(jnp.sum(g_h)) - float(jnp.sum(g_s))) / mass0 < 1e-6
+
+
 @pytest.mark.parametrize("mrt_eq", ["linear", "quadratic"])
 def test_coupled_transport_mrt_fused_matches_jnp(mrt_eq):
     """Anisotropic D2Q5 MRT tracer collision in-kernel

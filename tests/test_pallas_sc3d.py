@@ -109,6 +109,52 @@ def test_coupled3d_fused_matches_jnp():
                                rtol=0, atol=1e-12)
 
 
+def test_coupled3d_bf16_storage_tracks_f32():
+    """storage='bf16' composes with the coupled 3D flow+transport kernel:
+    FLOW planes ride the 21-plane bf16 state while D3Q7 tracer PDFs stay
+    f32 — the bf16 trajectory tracks the f32 coupled trajectory within
+    storage rounding and tracer mass conservation is f32-grade."""
+    from openlbmpm_tpu.models.flow3d import (CG3DBoundaryConfig,
+                                             ColorGradientParams3D,
+                                             TransportRK3D)
+    n = 16
+    solid = np.zeros((n, n, n), bool)
+    solid[:, 0, :] = solid[:, -1, :] = True
+    fp = ColorGradientParams3D(surface_tension=0.01, tau_r=1.0, tau_b=0.8,
+                               contact_angle_deg=60.0)
+    m = TransportRK3D(geo.from_solid_mask(solid), fp, num_tracers=1,
+                      tau=(1.0,), j0=(0.25,),
+                      interface_mode="bounceback", dtype=jnp.float32)
+    m.flow.bcs = CG3DBoundaryConfig(inlet="velocity", outlet="convective",
+                                    inlet_velocity=-1e-3)
+    f32_step = m.make_fused_step(slabs_per_block=4, interpret=True)
+    bf_step = m.make_fused_step(slabs_per_block=4, interpret=True,
+                                storage="bf16")
+    assert f32_step is not None and bf_step is not None
+    fs = m.flow.init_state_layers(1.0, 1.0, invading_slabs=6)
+    conc0 = np.zeros((1, n, n, n))
+    conc0[0, 2:6] = 1.0
+    state = m.init_state(fs, conc0)
+    s = m.flow.pack_state(state[0], state[1])
+    h = m.flow.pack_state_bf16(state[0], state[1])
+    g_s = state[2]
+    g_h = state[2]
+    for _ in range(3):
+        s, g_s = f32_step(s, g_s)
+        h, g_h = bf_step(h, g_h)
+    assert h.dtype == jnp.bfloat16 and h.shape[0] == 21
+    assert g_h.dtype == jnp.float32
+    u = m.flow.unpack_bf16(h)
+    assert bool(jnp.isfinite(u).all())
+    assert float(jnp.max(jnp.abs(u[:19] - s[:19]))) < 1e-2
+    assert float(jnp.max(jnp.abs(u[19] - s[19]))) < 2e-2
+    assert float(jnp.max(jnp.abs(g_h - g_s))) < 2e-2
+    # tracer mass: compare against the f32 path's mass (same summation
+    # order) so the bar measures bf16-induced drift only
+    assert abs(float(jnp.sum(g_h)) - float(jnp.sum(g_s))) / \
+        max(float(jnp.sum(g_s)), 1e-30) < 1e-6
+
+
 def test_sc3d_bf16_storage_tracks_f32():
     """bf16 shifted-PDF storage on D3Q19 SC (storage='bf16') tracks the
     f32 trajectory: deviations f_i - w_i*rho_k round at bf16, rho_k
